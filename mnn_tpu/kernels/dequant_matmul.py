@@ -1,0 +1,161 @@
+"""Fused per-block dequantize + matmul Pallas kernel (W4A16 / W8A16).
+
+TPU-native replacement for the reference's weight-only-quant GEMM/GEMV
+kernels (`MNNGemmInt8AddBiasScale_*_w4_Unit.S`, deferred-dequant Metal GEMV —
+/root/reference/source/backend/cpu/arm/arm64/low_memory/,
+/root/reference/source/backend/opencl/execution/buffer/ConvBufLowMemoryExecution.cpp).
+
+Weights stay packed in HBM (int4: two nibbles/byte) and are unpacked in VMEM
+right before the MXU, so HBM traffic is the quantized size — the property
+that sets the decode tokens/s roofline (reference analysis:
+docs/perf/gemv_bw_benchmark.md).
+
+Key algebraic trick (the TPU analog of the reference's deferred-dequant GEMV):
+with per-block affine dequant  w = q * s_b + m_b  (q unsigned, s/m per
+(quant-block b, out-channel n)), the block's contribution to the output is
+
+    x_b @ w_b = (x_b @ q_b) * s_b[n]  +  rowsum(x_b)[m] * m_b[n]
+
+so the kernel runs one integer-pattern bf16 MXU dot per quant block and
+applies scale/bias on the [bm, bn] *partial product* (VPU work scales with
+M*N per block, not K*N — decisive for small-M decode). The int4 nibble
+pairing (i, i + block//2 within each quant block, defined in
+mnn_tpu.quant.quantize) unpacks with two int ops and one 2D concat.
+
+Grid is (M/bm, N/bn, K/bk) with K innermost; each K step statically unrolls
+bk/block_size quant blocks; an f32 VMEM scratch accumulates across steps.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mnn_tpu.kernels.common import interpret_mode, largest_divisor_leq, round_up
+
+
+def _kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, bits, block_size, nb):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    bs = block_size
+    half = bs // 2
+    x = x_ref[...]
+    rs = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True) if nb == 1 else None
+
+    acc = acc_ref[...]
+    for kb in range(nb):
+        if bits == 4:
+            w32 = w_ref[kb * half : (kb + 1) * half, :].astype(jnp.int32)
+            lo = w32 & 0xF
+            hi = (w32 >> 4) & 0xF
+            q = jnp.concatenate([lo, hi], axis=0).astype(x.dtype)  # [bs, bn]
+        else:
+            w32 = w_ref[kb * bs : (kb + 1) * bs, :].astype(jnp.int32)
+            q = (w32 & 0xFF).astype(x.dtype)
+        xb = x[:, kb * bs : (kb + 1) * bs]
+        part = jnp.dot(xb, q, preferred_element_type=jnp.float32)
+        rsb = (
+            rs
+            if nb == 1
+            else jnp.sum(xb.astype(jnp.float32), axis=1, keepdims=True)
+        )
+        acc = acc + part * s_ref[kb] + rsb * b_ref[kb]
+    acc_ref[...] = acc
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _done():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def choose_blocks(m: int, k: int, n: int, block_size: int):
+    """Pick (bm, bn, bk): MXU-aligned, VMEM-bounded, minimizing re-fetch."""
+    bm = 256 if m >= 256 else round_up(m, 8)
+    # Large bn cuts the number of passes over x (x traffic = x_bytes * n/bn).
+    # Budget: acc (bm*bn*4) + double-buffered w/scale tiles within ~12 MB.
+    bn_cap = 4096 if m > 64 else 2048
+    bn = largest_divisor_leq(n, bn_cap, 128)
+    bk_cap = max(block_size, (3 << 20) // max(bn, 1) * 2)  # ~1.5MB packed tile
+    bk = largest_divisor_leq(k, min(bk_cap, 2048), block_size)
+    return bm, bn, bk
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dtype", "block_m", "block_n", "block_k", "interpret"),
+)
+def dequant_matmul(
+    x: jax.Array,
+    ql,
+    *,
+    out_dtype=jnp.bfloat16,
+    block_m: Optional[int] = None,
+    block_n: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """y = x @ dequant(ql) (+ out_bias).  x: [..., K] bf16/f32."""
+    if interpret is None:
+        interpret = interpret_mode()
+    k, n = ql.shape
+    bs = ql.block_size
+    lead = x.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= d
+    x2 = x.reshape(m, k).astype(jnp.bfloat16)
+
+    bm, bn, bk = choose_blocks(m, k, n, bs)
+    if block_m is not None:
+        bm = block_m
+    if block_n is not None:
+        bn = block_n
+    if block_k is not None:
+        bk = block_k
+    m_pad = round_up(m, bm)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+
+    nb = bk // bs
+    pack = 2 if ql.bits == 4 else 1
+    grid = (m_pad // bm, n // bn, k // bk)
+
+    kernel = functools.partial(_kernel, bits=ql.bits, block_size=bs, nb=nb)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bk // pack, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((nb, 1, bn), lambda i, j, kk: (kk, 0, j)),
+            pl.BlockSpec((nb, 1, bn), lambda i, j, kk: (kk, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * n,
+            bytes_accessed=m_pad * k * 2 + k * n // pack + m_pad * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        x2,
+        ql.packed,
+        ql.scale.reshape(k // bs, 1, n),
+        ql.bias.reshape(k // bs, 1, n),
+    )
+
+    out = out[:m]
+    if ql.out_bias is not None:
+        out = (out.astype(jnp.float32) + ql.out_bias).astype(out_dtype)
+    return out.reshape(*lead, n)

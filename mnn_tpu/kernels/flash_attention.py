@@ -1,0 +1,325 @@
+"""Flash attention Pallas kernels: prefill (causal GQA) and decode (int8 KV).
+
+TPU-native equivalent of the reference's blockwise attention executions
+(`CPUAttention.cpp` flash path with block=64 and running max/sum rescaling,
+/root/reference/source/backend/cpu/CPUAttention.cpp:154-467; Metal simdgroup
+flash in MetalAttention.mm; KV int8 quant modes in CPUKVCacheManager.hpp:20).
+
+Two kernels, matching the two execution regimes (the reference swaps module
+variants per stage, llm.cpp:511 switchMode):
+
+* `flash_attention` — prefill: queries in [bq]-row tiles, KV scanned in
+  [bkv]-column tiles with online softmax (running max `m`, running sum `l`,
+  f32 accumulator), causal mask offset by the number of already-cached tokens
+  (enables chunked prefill), GQA by indexing the KV head as q_head // group.
+* `decode_attention` — single-position decode: the GQA group dimension is
+  packed into MXU rows (q [B, Hkv, G, D]) so each KV block is loaded once per
+  kv head, and KV may be int8 with per-token scales; scales are applied to
+  score columns / probability columns instead of dequantizing K/V elementwise
+  (defers the multiply out of the inner dot).
+
+Both kernels mask KV positions >= kv_len so callers run over a
+fixed-capacity cache with static shapes (no recompile per step).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mnn_tpu.kernels.common import interpret_mode, round_up
+
+NEG_INF = -1e30
+
+
+def _prefill_kernel(
+    lens_ref,  # SMEM [2] int32: (kv_len, q_offset)
+    q_ref, k_ref, v_ref, o_ref,
+    acc_ref, m_ref, l_ref,
+    *, bq, bkv, scale, causal,
+):
+    kv_idx = pl.program_id(2)
+    kv_start = kv_idx * bkv
+    kv_len = lens_ref[0]
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    @pl.when(kv_start < kv_len)
+    def _compute():
+        q = q_ref[0]  # [bq, d]
+        k = k_ref[0]  # [bkv, d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [bq, bkv]
+
+        col = kv_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+        mask = col < kv_len
+        if causal:
+            q_pos = (
+                lens_ref[1]
+                + pl.program_id(1) * bq
+                + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+            )
+            mask = jnp.logical_and(mask, col <= q_pos)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[...]  # [bq, 128] (column-replicated row stats)
+        m_cur = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
+        m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+        p = jnp.exp(s - m_new[:, :1])
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[...] = l_ref[...] * alpha + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_ref.shape
+        )
+        m_ref[...] = m_new
+        acc_ref[...] = acc_ref[...] * alpha[:, :1] + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _done():
+        l = l_ref[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "block_q", "block_kv", "interpret", "sm_scale"),
+)
+def flash_attention(
+    q: jax.Array,  # [B, H, Tq, D]
+    k: jax.Array,  # [B, Hkv, S, D]
+    v: jax.Array,  # [B, Hkv, S, D]
+    *,
+    kv_len: Optional[jax.Array] = None,  # [] int32 valid KV prefix (default S)
+    q_offset: Optional[jax.Array] = None,  # global position of query row 0
+    causal: bool = True,
+    sm_scale: Optional[float] = None,
+    block_q: int = 256,
+    block_kv: int = 512,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Attention over a (possibly partially filled) KV buffer. Returns [B,H,Tq,D]."""
+    if interpret is None:
+        interpret = interpret_mode()
+    b, h, tq, d = q.shape
+    _, hkv, s, _ = k.shape
+    group = h // hkv
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+    if kv_len is None:
+        kv_len = jnp.asarray(s, jnp.int32)
+    if q_offset is None:
+        q_offset = kv_len - tq
+
+    bq = min(block_q, round_up(tq, 16))
+    bkv = min(block_kv, s)
+    tq_pad = round_up(tq, bq)
+    if tq_pad != tq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, tq_pad - tq), (0, 0)))
+    if s % bkv:
+        pad = round_up(s, bkv) - s
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        s += pad
+
+    lens = jnp.stack(
+        [jnp.asarray(kv_len, jnp.int32), jnp.asarray(q_offset, jnp.int32)]
+    )
+
+    q3 = q.reshape(b * h, tq_pad, d)
+    k3 = k.reshape(b * hkv, s, d)
+    v3 = v.reshape(b * hkv, s, d)
+
+    def kv_map(bh, i, j, *_):
+        return ((bh // h) * hkv + (bh % h) // group, j, 0)
+
+    kernel = functools.partial(
+        _prefill_kernel, bq=bq, bkv=bkv, scale=sm_scale, causal=causal
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * h, tq_pad // bq, s // bkv),
+            in_specs=[
+                pl.BlockSpec((1, bq, d), lambda bh, i, j, *_: (bh, i, 0)),
+                pl.BlockSpec((1, bkv, d), kv_map),
+                pl.BlockSpec((1, bkv, d), kv_map),
+            ],
+            out_specs=pl.BlockSpec((1, bq, d), lambda bh, i, j, *_: (bh, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((bq, d), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, tq_pad, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lens, q3, k3, v3)
+    return out.reshape(b, h, tq_pad, d)[:, :, :tq]
+
+
+# ---------------------------------------------------------------------------
+# Decode attention: GQA group packed into rows, optional int8 KV cache.
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel(
+    lens_ref,   # SMEM [B*Hkv] int32 per-sequence kv length
+    q_ref,      # [1, gp, d]
+    k_ref,      # [1, bkv, d]  (bf16 or int8)
+    v_ref,      # [1, bkv, d]
+    ks_ref,     # [1, 1, bkv] f32 (or [1, 1, 128] dummy)
+    vs_ref,
+    o_ref,      # [1, gp, d]
+    acc_ref, m_ref, l_ref,
+    *, gp, bkv, scale, quantized,
+):
+    kv_idx = pl.program_id(1)
+    kv_start = kv_idx * bkv
+    kv_len = lens_ref[pl.program_id(0)]
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    @pl.when(kv_start < kv_len)
+    def _compute():
+        q = q_ref[0]  # [gp, d]
+        k = k_ref[0]
+        if quantized:
+            k = k.astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [gp, bkv]
+        if quantized:
+            s = s * ks_ref[0]  # [1, bkv] broadcasts over rows
+        s = s * scale
+
+        col = kv_start + jax.lax.broadcasted_iota(jnp.int32, (gp, bkv), 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+
+        m_prev = m_ref[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+        p = jnp.exp(s - m_new[:, :1])
+        pv = p * vs_ref[0] if quantized else p
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[...] = l_ref[...] * alpha + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_ref.shape
+        )
+        m_ref[...] = m_new
+        v = v_ref[0]
+        if quantized:
+            v = v.astype(jnp.bfloat16)
+        acc_ref[...] = acc_ref[...] * alpha[:, :1] + jax.lax.dot_general(
+            pv.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(kv_idx == pl.num_programs(1) - 1)
+    def _done():
+        l = l_ref[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_kv", "interpret", "sm_scale")
+)
+def decode_attention(
+    q: jax.Array,  # [B, H, D] one query position per sequence
+    k: jax.Array,  # [B, Hkv, S, D] bf16 or int8
+    v: jax.Array,  # [B, Hkv, S, D]
+    kv_len: jax.Array,  # [] or [B] int32
+    *,
+    k_scale: Optional[jax.Array] = None,  # [B, Hkv, S] f32 when KV int8
+    v_scale: Optional[jax.Array] = None,
+    sm_scale: Optional[float] = None,
+    block_kv: int = 512,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Single-position GQA attention against a fixed-capacity KV cache."""
+    if interpret is None:
+        interpret = interpret_mode()
+    b, h, d = q.shape
+    _, hkv, s, _ = k.shape
+    group = h // hkv
+    gp = round_up(group, 16)
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+    quantized = k.dtype == jnp.int8
+    if quantized and (k_scale is None or v_scale is None):
+        raise ValueError("int8 KV cache requires k_scale/v_scale")
+
+    bkv = min(block_kv, s)
+    if s % bkv:
+        raise ValueError(f"cache capacity {s} must be a multiple of block_kv {bkv}")
+
+    qg = q.reshape(b, hkv, group, d)
+    if gp != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - group), (0, 0)))
+    qg = qg.reshape(b * hkv, gp, d).astype(jnp.bfloat16)
+    k3 = k.reshape(b * hkv, s, d)
+    v3 = v.reshape(b * hkv, s, d)
+
+    kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,))
+    lens = jnp.repeat(kv_len, hkv)  # [B*Hkv]
+
+    if quantized:
+        if bkv % 128 and bkv != s:
+            raise ValueError("int8 KV needs block_kv % 128 == 0 (scale lane dim)")
+        ks = k_scale.reshape(b * hkv, 1, s).astype(jnp.float32)
+        vs = v_scale.reshape(b * hkv, 1, s).astype(jnp.float32)
+        scale_spec = pl.BlockSpec((1, 1, bkv), lambda bh, j, *_: (bh, 0, j))
+    else:
+        ks = jnp.zeros((b * hkv, 1, 128), jnp.float32)
+        vs = jnp.zeros((b * hkv, 1, 128), jnp.float32)
+        scale_spec = pl.BlockSpec((1, 1, 128), lambda bh, j, *_: (bh, 0, 0))
+
+    kernel = functools.partial(
+        _decode_kernel, gp=gp, bkv=bkv, scale=sm_scale, quantized=quantized
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * hkv, s // bkv),
+            in_specs=[
+                pl.BlockSpec((1, gp, d), lambda bh, j, *_: (bh, 0, 0)),
+                pl.BlockSpec((1, bkv, d), lambda bh, j, *_: (bh, j, 0)),
+                pl.BlockSpec((1, bkv, d), lambda bh, j, *_: (bh, j, 0)),
+                scale_spec,
+                scale_spec,
+            ],
+            out_specs=pl.BlockSpec((1, gp, d), lambda bh, j, *_: (bh, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((gp, d), jnp.float32),
+                pltpu.VMEM((gp, 128), jnp.float32),
+                pltpu.VMEM((gp, 128), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * hkv, gp, d), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lens, qg, k3, v3, ks, vs)
+    return out.reshape(b, hkv, gp, d)[:, :, :group].reshape(b, h, d)

@@ -1,0 +1,179 @@
+"""Per-block weight quantization (INT4/INT8, asymmetric or symmetric).
+
+Semantics mirror the reference's weight-only quantization
+(`quant_bit`/`quant_block` in MNN-LLM: /root/reference/transformers/llm/export/utils/mnn_converter.py:302-346
+and the IDSTQuan container /root/reference/schema/default/CaffeOp.fbs:62-84):
+contiguous blocks of `block_size` input channels share one (scale, bias)
+pair per output channel, with
+
+    w_dequant = q * scale + bias,   q in [0, 2**bits - 1]   (asym)
+    w_dequant = (q - 2**(bits-1)) * scale                   (sym; stored in
+                the same unsigned form with bias = -2**(bits-1) * scale)
+
+TPU-native layout decisions (this file defines the checkpoint format):
+  * weights are [K, N] (contraction dim first: y = x @ W), blocks along K;
+  * INT4 values are nibble-packed two-per-byte *within* a quant block:
+    in-block offset i pairs with offset i + block_size//2 (low/high nibble),
+    so both nibbles of a byte always share one (scale, bias) and the Pallas
+    kernel can unpack with a reshape + concat, no cross-block interleave;
+  * packed storage dtype is int8 (Mosaic has no uint8->bf16 cast; kernels
+    unpack via int32 masks), scales/biases are float32 [K//block_size, N].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class QuantizedLinear:
+    """Weights of one linear layer in the packed per-block format.
+
+    A pytree: `packed/scale/bias` (and optional `out_bias`) are arrays,
+    `bits/block_size` are static metadata.
+    """
+
+    packed: jax.Array  # int8  [K//2, N] (int4) or [K, N] (int8 storage of q)
+    scale: jax.Array   # f32   [K//block_size, N]
+    bias: jax.Array    # f32   [K//block_size, N] (additive term; 0-centered for sym)
+    out_bias: Optional[jax.Array]  # f32 [N] or None
+    bits: int = dataclasses.field(metadata=dict(static=True), default=4)
+    block_size: int = dataclasses.field(metadata=dict(static=True), default=128)
+
+    @property
+    def in_features(self) -> int:
+        return self.packed.shape[0] * (2 if self.bits == 4 else 1)
+
+    @property
+    def out_features(self) -> int:
+        return self.packed.shape[1]
+
+    @property
+    def shape(self):
+        return (self.in_features, self.out_features)
+
+
+def _check_args(k: int, bits: int, block_size: int):
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+    if block_size % 2 or k % block_size:
+        raise ValueError(f"block_size {block_size} must be even and divide K={k}")
+
+
+def pack_int4(q: jax.Array, block_size: int) -> jax.Array:
+    """Pack unsigned 4-bit values [K, N] -> int8 [K//2, N].
+
+    In-block pairing: offsets (i, i + block_size//2) of each quant block share
+    a byte (i in low nibble). Keeps every byte within one scale block.
+    """
+    k, n = q.shape
+    half = block_size // 2
+    blocks = q.reshape(k // block_size, 2, half, n)
+    lo = blocks[:, 0].astype(jnp.int32)
+    hi = blocks[:, 1].astype(jnp.int32)
+    packed = (lo | (hi << 4)).astype(jnp.uint8)
+    return jax.lax.bitcast_convert_type(packed.reshape(k // 2, n), jnp.int8)
+
+
+def unpack_int4(packed: jax.Array, block_size: int) -> jax.Array:
+    """Inverse of pack_int4: int8 [K//2, N] -> int32 q in [0,15], [K, N]."""
+    kh, n = packed.shape
+    half = block_size // 2
+    w32 = jax.lax.bitcast_convert_type(packed, jnp.uint8).astype(jnp.int32)
+    w32 = w32.reshape(kh // half, half, n)
+    lo = w32 & 0xF
+    hi = (w32 >> 4) & 0xF
+    return jnp.concatenate([lo, hi], axis=1).reshape(kh * 2, n)
+
+
+def quantize(
+    w: jax.Array | np.ndarray,
+    bits: int = 4,
+    block_size: int = 128,
+    sym: bool = False,
+    out_bias: Optional[jax.Array] = None,
+) -> QuantizedLinear:
+    """Quantize a float [K, N] weight matrix to the per-block packed format."""
+    w = jnp.asarray(w, jnp.float32)
+    k, n = w.shape
+    _check_args(k, bits, block_size)
+    qmax = (1 << bits) - 1
+    center = 1 << (bits - 1)
+    blocks = w.reshape(k // block_size, block_size, n)
+
+    if sym:
+        absmax = jnp.max(jnp.abs(blocks), axis=1)  # [nb, N]
+        scale = absmax / (center - 1)
+        scale = jnp.where(scale == 0, 1.0, scale)
+        q = jnp.round(blocks / scale[:, None, :]) + center
+        q = jnp.clip(q, 1, qmax)  # symmetric range [-(center-1), center-1]
+        bias = -float(center) * scale
+    else:
+        wmin = jnp.min(blocks, axis=1)
+        wmax = jnp.max(blocks, axis=1)
+        scale = (wmax - wmin) / qmax
+        scale = jnp.where(scale == 0, 1.0, scale)
+        q = jnp.round((blocks - wmin[:, None, :]) / scale[:, None, :])
+        q = jnp.clip(q, 0, qmax)
+        bias = wmin
+
+    q = q.astype(jnp.int32).reshape(k, n)
+    if bits == 4:
+        packed = pack_int4(q, block_size)
+    else:
+        # store q - 128 in int8 (same bit pattern as uint8 q)
+        packed = jax.lax.bitcast_convert_type(q.astype(jnp.uint8), jnp.int8)
+    return QuantizedLinear(
+        packed=packed,
+        scale=scale.astype(jnp.float32),
+        bias=bias.astype(jnp.float32),
+        out_bias=None if out_bias is None else jnp.asarray(out_bias, jnp.float32),
+        bits=bits,
+        block_size=block_size,
+    )
+
+
+def dequantize(ql: QuantizedLinear, dtype=jnp.float32) -> jax.Array:
+    """Reference dequantization: packed -> float [K, N]."""
+    if ql.bits == 4:
+        q = unpack_int4(ql.packed, ql.block_size)
+    else:
+        q = jax.lax.bitcast_convert_type(ql.packed, jnp.uint8).astype(jnp.int32)
+    k, n = q.shape
+    nb = k // ql.block_size
+    qb = q.reshape(nb, ql.block_size, n).astype(jnp.float32)
+    w = qb * ql.scale[:, None, :] + ql.bias[:, None, :]
+    return w.reshape(k, n).astype(dtype)
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def matmul_dequant_ref(x: jax.Array, ql: QuantizedLinear, dtype=jnp.bfloat16) -> jax.Array:
+    """Pure-XLA reference path: dequantize then matmul (used on CPU / in tests)."""
+    w = dequantize(ql, dtype=dtype)
+    y = jnp.dot(x.astype(dtype), w, preferred_element_type=jnp.float32)
+    if ql.out_bias is not None:
+        y = y + ql.out_bias
+    return y.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Activation quantization (dynamic per-row int8), mirroring the reference's
+# dynamic-quant path (MNNDynamicQuantFP32 / CPUDynamicQuant,
+# /root/reference/source/backend/cpu/CPUDynamicQuant.cpp): per-token absmax
+# symmetric int8.
+# ---------------------------------------------------------------------------
+
+
+def quantize_activations_int8(x: jax.Array):
+    """Per-row symmetric int8: returns (q [M,K] int8, scale [M,1] f32)."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return q, scale

@@ -1,0 +1,15 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Mirrors the reference's "one suite x backend matrix" strategy
+(/root/reference/test/main.cpp runs ~350 tests against every backend):
+the suite runs on the CPU backend with 8 virtual devices so sharding
+tests exercise real collectives without TPU hardware; the same code
+paths run on TPU in bench/serving.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
