@@ -21,6 +21,15 @@ def interpret_mode() -> bool:
     return not on_tpu()
 
 
+def use_pallas(interpret) -> bool:
+    """Kernel dispatch policy (≈ the reference's backend selection,
+    Schedule::getAppropriateType): Pallas on TPU, Pallas-interpreter when
+    explicitly requested (kernel unit tests), otherwise the pure-XLA
+    reference path — the 'CPU backend is the reference implementation'
+    pattern from /root/reference/test (SURVEY.md §4)."""
+    return on_tpu() or interpret is True
+
+
 def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 

@@ -36,7 +36,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mnn_tpu.kernels.common import interpret_mode, largest_divisor_leq, round_up
+from mnn_tpu.kernels.common import (
+    interpret_mode,
+    largest_divisor_leq,
+    round_up,
+    use_pallas,
+)
 
 
 def _kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, bits, block_size, nb):
@@ -101,6 +106,10 @@ def dequant_matmul(
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """y = x @ dequant(ql) (+ out_bias).  x: [..., K] bf16/f32."""
+    if not use_pallas(interpret):
+        from mnn_tpu.quant.quantize import matmul_dequant_ref
+
+        return matmul_dequant_ref(x, ql, dtype=out_dtype)
     if interpret is None:
         interpret = interpret_mode()
     k, n = ql.shape

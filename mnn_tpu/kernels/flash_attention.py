@@ -32,9 +32,47 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mnn_tpu.kernels.common import interpret_mode, round_up
+from mnn_tpu.kernels.common import interpret_mode, round_up, use_pallas
 
 NEG_INF = -1e30
+
+
+def attention_xla_ref(
+    q, k, v, kv_len=None, q_offset=None, causal=True, sm_scale=None,
+    k_scale=None, v_scale=None,
+):
+    """Pure-XLA masked-softmax attention — the off-TPU reference path and the
+    numerics oracle (float32 math). q [B,H,Tq,D], k/v [B,Hkv,S,D]."""
+    b, h, tq, d = q.shape
+    _, hkv, s, _ = k.shape
+    group = h // hkv
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    if k_scale is not None:
+        kf = kf * k_scale[..., None]
+    if v_scale is not None:
+        vf = vf * v_scale[..., None]
+    kf = jnp.repeat(kf, group, axis=1)
+    vf = jnp.repeat(vf, group, axis=1)
+    scores = jnp.einsum("bhtd,bhsd->bhts", q.astype(jnp.float32), kf) * sm_scale
+    if kv_len is None:
+        kv_len = jnp.asarray(s)
+    kv_len = jnp.broadcast_to(jnp.asarray(kv_len), (b,))
+    col = jnp.arange(s)
+    mask = col[None, None, None, :] < kv_len[:, None, None, None]
+    if causal:
+        if q_offset is None:
+            q_offset = kv_len - tq
+        q_offset = jnp.broadcast_to(jnp.asarray(q_offset), (b,))
+        row_pos = q_offset[:, None] + jnp.arange(tq)[None, :]
+        mask = jnp.logical_and(
+            mask, col[None, None, None, :] <= row_pos[:, None, :, None]
+        )
+    scores = jnp.where(mask, scores, NEG_INF)
+    p = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhts,bhsd->bhtd", p, vf).astype(q.dtype)
 
 
 def _prefill_kernel(
@@ -111,6 +149,11 @@ def flash_attention(
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Attention over a (possibly partially filled) KV buffer. Returns [B,H,Tq,D]."""
+    if not use_pallas(interpret):
+        return attention_xla_ref(
+            q, k, v, kv_len=kv_len, q_offset=q_offset, causal=causal,
+            sm_scale=sm_scale,
+        )
     if interpret is None:
         interpret = interpret_mode()
     b, h, tq, d = q.shape
@@ -257,6 +300,13 @@ def decode_attention(
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Single-position GQA attention against a fixed-capacity KV cache."""
+    if k.dtype == jnp.int8 and (k_scale is None or v_scale is None):
+        raise ValueError("int8 KV cache requires k_scale/v_scale")
+    if not use_pallas(interpret):
+        return attention_xla_ref(
+            q[:, :, None], k, v, kv_len=kv_len, causal=False,
+            sm_scale=sm_scale, k_scale=k_scale, v_scale=v_scale,
+        )[:, :, 0]
     if interpret is None:
         interpret = interpret_mode()
     b, h, d = q.shape

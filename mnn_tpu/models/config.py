@@ -1,0 +1,145 @@
+"""Model + runtime configuration.
+
+Mirrors the reference's layered config (SURVEY.md §5.6): the model
+architecture schema corresponds to what `llmexport.py` bakes into
+`llm_config.json` (/root/reference/transformers/llm/export/llmexport.py and
+utils/model_mapper.py per-family maps), and `RuntimeConfig` carries the
+subset of MNN-LLM's ~120 `config.json` keys that are meaningful on TPU
+(/root/reference/transformers/llm/engine/src/llmconfig.hpp).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Decoder-only transformer architecture description."""
+
+    name: str = "custom"
+    vocab_size: int = 151936
+    hidden_size: int = 896
+    intermediate_size: int = 4864
+    num_layers: int = 24
+    num_heads: int = 14
+    num_kv_heads: int = 2
+    head_dim: int = 64
+    rope_theta: float = 1000000.0
+    rms_norm_eps: float = 1e-6
+    tie_word_embeddings: bool = True
+    attention_bias: bool = True   # qwen2 uses qkv bias
+    qk_norm: bool = False         # qwen3 per-head RMSNorm on q/k
+    max_position_embeddings: int = 32768
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+    @classmethod
+    def from_hf_config(cls, d: dict, name: str = "custom") -> "ModelConfig":
+        """Build from a HuggingFace config.json dict (qwen2/qwen3/llama)."""
+        head_dim = d.get("head_dim") or d["hidden_size"] // d["num_attention_heads"]
+        arch = (d.get("architectures") or [""])[0].lower()
+        return cls(
+            name=name,
+            vocab_size=d["vocab_size"],
+            hidden_size=d["hidden_size"],
+            intermediate_size=d["intermediate_size"],
+            num_layers=d["num_hidden_layers"],
+            num_heads=d["num_attention_heads"],
+            num_kv_heads=d.get("num_key_value_heads", d["num_attention_heads"]),
+            head_dim=head_dim,
+            rope_theta=d.get("rope_theta", 10000.0),
+            rms_norm_eps=d.get("rms_norm_eps", 1e-6),
+            tie_word_embeddings=d.get("tie_word_embeddings", False),
+            attention_bias=d.get("attention_bias", "qwen2" in arch),
+            qk_norm="qwen3" in arch,
+            max_position_embeddings=d.get("max_position_embeddings", 32768),
+        )
+
+
+# Presets matching the driver configs (BASELINE.json) — dims from the public
+# HF configs of each family.
+PRESETS = {
+    "qwen2-0.5b": ModelConfig(
+        name="qwen2-0.5b", vocab_size=151936, hidden_size=896,
+        intermediate_size=4864, num_layers=24, num_heads=14, num_kv_heads=2,
+        head_dim=64, tie_word_embeddings=True, attention_bias=True,
+    ),
+    "qwen2-1.5b": ModelConfig(
+        name="qwen2-1.5b", vocab_size=151936, hidden_size=1536,
+        intermediate_size=8960, num_layers=28, num_heads=12, num_kv_heads=2,
+        head_dim=128, tie_word_embeddings=True, attention_bias=True,
+    ),
+    "qwen2-7b": ModelConfig(
+        name="qwen2-7b", vocab_size=152064, hidden_size=3584,
+        intermediate_size=18944, num_layers=28, num_heads=28, num_kv_heads=4,
+        head_dim=128, tie_word_embeddings=False, attention_bias=True,
+    ),
+    "qwen3-0.6b": ModelConfig(
+        name="qwen3-0.6b", vocab_size=151936, hidden_size=1024,
+        intermediate_size=3072, num_layers=28, num_heads=16, num_kv_heads=8,
+        head_dim=128, tie_word_embeddings=True, attention_bias=False,
+        qk_norm=True,
+    ),
+    "llama3.2-1b": ModelConfig(
+        name="llama3.2-1b", vocab_size=128256, hidden_size=2048,
+        intermediate_size=8192, num_layers=16, num_heads=32, num_kv_heads=8,
+        head_dim=64, rope_theta=500000.0, tie_word_embeddings=True,
+        attention_bias=False,
+    ),
+    "llama3.2-3b": ModelConfig(
+        name="llama3.2-3b", vocab_size=128256, hidden_size=3072,
+        intermediate_size=8192, num_layers=28, num_heads=24, num_kv_heads=8,
+        head_dim=128, rope_theta=500000.0, tie_word_embeddings=True,
+        attention_bias=False,
+    ),
+    # tiny config for tests (CPU interpret mode friendly)
+    "tiny": ModelConfig(
+        name="tiny", vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
+        tie_word_embeddings=True, attention_bias=True,
+    ),
+}
+
+
+@dataclasses.dataclass
+class RuntimeConfig:
+    """Runtime knobs (≈ MNN-LLM config.json subset, llmconfig.hpp)."""
+
+    quant_bits: int = 4            # quant_bit
+    quant_block: int = 128         # quant_block
+    quant_sym: bool = False        # sym
+    kv_quant: bool = True          # attention mode int8-KV (MNN KVCacheInfo)
+    max_seq_len: int = 4096        # kvcache capacity per sequence
+    max_batch: int = 1
+    prefill_chunk: int = 512       # chunked prefill (MNN `chunk`)
+    decode_block: int = 16         # tokens decoded per device dispatch
+    dtype: str = "bfloat16"
+    # sampler (MNN sampler.hpp defaults)
+    sampler: str = "mixed"         # greedy|temperature|topK|topP|minP|mixed
+    temperature: float = 1.0
+    top_k: int = 40
+    top_p: float = 0.9
+    min_p: float = 0.05
+    penalty: float = 1.0           # repetition penalty
+    penalty_ngram: int = 8
+    seed: int = 0
+    max_new_tokens: int = 512
+
+    @classmethod
+    def from_json(cls, path: str) -> "RuntimeConfig":
+        with open(path) as f:
+            d = json.load(f)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    def merge(self, **kwargs) -> "RuntimeConfig":
+        return dataclasses.replace(self, **{k: v for k, v in kwargs.items() if v is not None})

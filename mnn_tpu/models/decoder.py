@@ -1,0 +1,209 @@
+"""Decoder-only transformer forward pass (Qwen2/2.5, Qwen3, Llama-3 family).
+
+TPU-native replacement for the reference's exported-graph + Module runtime:
+where MNN-LLM rebuilds the HF graph with fused custom ops at export time
+(/root/reference/transformers/llm/export/utils/mnn_converter.py:400-650) and
+executes it through StaticModule/Session (express/module/StaticModule.cpp),
+here the model is one jitted function over a pytree of quantized weights:
+
+* all linear projections run through the fused dequant-matmul Pallas kernel,
+  with QKV fused into one matmul and gate/up fused into another (the
+  reference's converter does the same fusions as graph passes);
+* attention runs the prefill flash kernel or the decode kernel against the
+  fixed-capacity (optionally int8) KV cache;
+* layers are stacked on a leading axis and driven by `lax.scan`, so compile
+  time is O(1) in depth;
+* two entry shapes (prefill T>1, decode T=1) correspond to the reference's
+  prefill/decode module pool (llm.cpp:351-398, switchMode llm.cpp:511).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mnn_tpu.kernels.dequant_matmul import dequant_matmul
+from mnn_tpu.kernels.flash_attention import decode_attention, flash_attention
+from mnn_tpu.models.config import ModelConfig
+from mnn_tpu.models.layers import apply_rope, rms_norm, rope_cos_sin, swiglu
+from mnn_tpu.quant.quantize import QuantizedLinear, quantize
+from mnn_tpu.runtime import kvcache
+from mnn_tpu.runtime.kvcache import KVCache
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LayerParams:
+    """Per-layer weights, stacked on a leading num_layers axis."""
+
+    wqkv: QuantizedLinear      # [hidden, (H + 2*Hkv) * D]
+    wo: QuantizedLinear        # [H*D, hidden]
+    wgu: QuantizedLinear       # [hidden, 2*intermediate] (gate | up)
+    wdown: QuantizedLinear     # [intermediate, hidden]
+    input_norm: jax.Array      # [L, hidden]
+    post_norm: jax.Array       # [L, hidden]
+    q_norm: Optional[jax.Array]  # [L, head_dim] (qwen3)
+    k_norm: Optional[jax.Array]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Params:
+    embedding: jax.Array       # [vocab, hidden] bf16
+    final_norm: jax.Array      # [hidden]
+    lm_head: Optional[jax.Array]  # [hidden, vocab] bf16; None when tied
+    layers: LayerParams
+
+
+def init_random_params(
+    config: ModelConfig,
+    rng: jax.Array,
+    quant_bits: int = 4,
+    quant_block: int = 128,
+    sym: bool = False,
+    scale: float = 0.02,
+) -> Params:
+    """Random quantized weights (bench/tests; real weights come from convert/)."""
+    c = config
+    keys = jax.random.split(rng, 8)
+
+    def ql(key, k_dim, n_dim, with_bias):
+        w = jax.random.normal(key, (c.num_layers, k_dim, n_dim), jnp.float32) * scale
+        qs = [
+            quantize(w[i], bits=quant_bits, block_size=quant_block, sym=sym,
+                     out_bias=jnp.zeros((n_dim,), jnp.float32) if with_bias else None)
+            for i in range(c.num_layers)
+        ]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *qs)
+
+    qkv_n = (c.num_heads + 2 * c.num_kv_heads) * c.head_dim
+    layers = LayerParams(
+        wqkv=ql(keys[0], c.hidden_size, qkv_n, c.attention_bias),
+        wo=ql(keys[1], c.q_dim, c.hidden_size, False),
+        wgu=ql(keys[2], c.hidden_size, 2 * c.intermediate_size, False),
+        wdown=ql(keys[3], c.intermediate_size, c.hidden_size, False),
+        input_norm=jnp.ones((c.num_layers, c.hidden_size), jnp.float32),
+        post_norm=jnp.ones((c.num_layers, c.hidden_size), jnp.float32),
+        q_norm=jnp.ones((c.num_layers, c.head_dim), jnp.float32) if c.qk_norm else None,
+        k_norm=jnp.ones((c.num_layers, c.head_dim), jnp.float32) if c.qk_norm else None,
+    )
+    emb = jax.random.normal(keys[4], (c.vocab_size, c.hidden_size), jnp.bfloat16) * scale
+    lm_head = (
+        None
+        if c.tie_word_embeddings
+        else jax.random.normal(keys[5], (c.hidden_size, c.vocab_size), jnp.bfloat16) * scale
+    )
+    return Params(
+        embedding=emb,
+        final_norm=jnp.ones((c.hidden_size,), jnp.float32),
+        lm_head=lm_head,
+        layers=layers,
+    )
+
+
+def _attention(
+    config: ModelConfig,
+    q: jax.Array,             # [B, H, T, D]
+    k_cache, v_cache, k_scale, v_scale,
+    kv_len: jax.Array,        # [B] valid length AFTER append
+    start: jax.Array,         # [] write offset (= length before append)
+    interpret: Optional[bool],
+):
+    b, h, t, d = q.shape
+    if t == 1:
+        return decode_attention(
+            q[:, :, 0], k_cache, v_cache, kv_len,
+            k_scale=k_scale, v_scale=v_scale, interpret=interpret,
+        )[:, :, None]
+    if k_cache.dtype == jnp.int8:
+        # Prefill reads freshly appended bf16 K/V via their dequantized form:
+        # dequantize the whole cache window once (prefill is compute-bound,
+        # and XLA fuses the dequant into the attention input pipeline).
+        kf = k_cache.astype(jnp.bfloat16) * k_scale[..., None].astype(jnp.bfloat16)
+        vf = v_cache.astype(jnp.bfloat16) * v_scale[..., None].astype(jnp.bfloat16)
+    else:
+        kf, vf = k_cache, v_cache
+    return flash_attention(
+        q, kf, vf, kv_len=kv_len[0], q_offset=start, interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "all_logits", "interpret"))
+def forward(
+    params: Params,
+    config: ModelConfig,
+    tokens: jax.Array,        # [B, T] int32
+    cache: KVCache,
+    *,
+    all_logits: bool = False,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """Run the model over `tokens`, appending T positions to the cache.
+
+    Returns (logits [B, V] or [B, T, V], updated cache).
+    """
+    c = config
+    b, t = tokens.shape
+    x = params.embedding[tokens]  # [B, T, hidden]
+    start = cache.length[0]       # uniform write offset (batch steps in sync)
+    positions = cache.length[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
+    cos, sin = rope_cos_sin(positions, c.head_dim, c.rope_theta)
+    kv_len = cache.length + t
+
+    q_dim, kv_dim = c.q_dim, c.kv_dim
+
+    def layer_step(x, layer):
+        lp, k_c, v_c, ks_c, vs_c = layer
+        h = rms_norm(x, lp.input_norm, c.rms_norm_eps)
+        qkv = dequant_matmul(h, lp.wqkv, interpret=interpret)  # [B,T,q+2kv]
+        q = qkv[..., :q_dim]
+        k = qkv[..., q_dim : q_dim + kv_dim]
+        v = qkv[..., q_dim + kv_dim :]
+        q = q.reshape(b, t, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, c.num_kv_heads, c.head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, c.num_kv_heads, c.head_dim).transpose(0, 2, 1, 3)
+        if c.qk_norm:
+            q = rms_norm(q, lp.q_norm, c.rms_norm_eps)
+            k = rms_norm(k, lp.k_norm, c.rms_norm_eps)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        k_c, v_c, ks_c, vs_c = kvcache.append_layer(
+            k_c, v_c, ks_c, vs_c, k, v, start
+        )
+        att = _attention(c, q, k_c, v_c, ks_c, vs_c, kv_len, start, interpret)
+        att = att.transpose(0, 2, 1, 3).reshape(b, t, q_dim)
+        x = x + dequant_matmul(att, lp.wo, interpret=interpret)
+
+        h2 = rms_norm(x, lp.post_norm, c.rms_norm_eps)
+        gu = dequant_matmul(h2, lp.wgu, interpret=interpret)
+        act = swiglu(gu[..., : c.intermediate_size], gu[..., c.intermediate_size :])
+        x = x + dequant_matmul(act, lp.wdown, interpret=interpret)
+        return x, (k_c, v_c, ks_c, vs_c)
+
+    def scan_body(x, layer):
+        x, updated = layer_step(x, layer)
+        return x, updated
+
+    xs = (cache.k, cache.v, cache.k_scale, cache.v_scale)
+    x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+        scan_body, x, (params.layers,) + xs
+    )
+
+    x = rms_norm(x, params.final_norm, c.rms_norm_eps)
+    if not all_logits:
+        x = x[:, -1]  # logits_index = -1 (reference llm.cpp io names)
+    head = params.embedding.T if params.lm_head is None else params.lm_head
+    logits = jnp.dot(
+        x.astype(jnp.bfloat16), head.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+    new_cache = KVCache(
+        k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new, length=kv_len
+    )
+    return logits, new_cache

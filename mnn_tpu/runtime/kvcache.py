@@ -1,0 +1,116 @@
+"""Fixed-capacity, optionally int8-quantized KV cache.
+
+TPU-native equivalent of the reference's KV-cache stack
+(/root/reference/source/core/KVCacheManager.hpp mmap spill + quant modes,
+source/backend/cpu/CPUKVCacheManager.cpp packed layouts, and the KVMeta
+add/remove/reserve protocol in source/core/KVMeta.hpp): here the cache is a
+preallocated HBM array per layer ([L, B, Hkv, S, D]) with a per-sequence
+valid length; "erase history"/rollback (the reference's KVMeta remove) is a
+length rollback, and int8 quantization stores per-(token, head) scales that
+the decode kernel folds into score/probability columns.
+
+Static shapes by design: capacity never changes under jit, so prefill and
+decode never recompile as sequences grow (the reference's module-pool /
+resize machinery exists to solve the same problem on its dynamic runtime).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    k: jax.Array             # [L, B, Hkv, S, D] int8 or bf16
+    v: jax.Array             # [L, B, Hkv, S, D]
+    k_scale: Optional[jax.Array]  # [L, B, Hkv, S] f32 when quantized
+    v_scale: Optional[jax.Array]
+    length: jax.Array        # [B] int32 valid prefix length
+
+    @property
+    def capacity(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k.dtype == jnp.int8
+
+
+def create(
+    num_layers: int,
+    batch: int,
+    num_kv_heads: int,
+    capacity: int,
+    head_dim: int,
+    quantized: bool = True,
+    dtype=jnp.bfloat16,
+) -> KVCache:
+    shape = (num_layers, batch, num_kv_heads, capacity, head_dim)
+    if quantized:
+        k = jnp.zeros(shape, jnp.int8)
+        v = jnp.zeros(shape, jnp.int8)
+        ks = jnp.ones(shape[:-1], jnp.float32)
+        vs = jnp.ones(shape[:-1], jnp.float32)
+    else:
+        k = jnp.zeros(shape, dtype)
+        v = jnp.zeros(shape, dtype)
+        ks = vs = None
+    return KVCache(k=k, v=v, k_scale=ks, v_scale=vs,
+                   length=jnp.zeros((batch,), jnp.int32))
+
+
+def quantize_kv(x: jax.Array):
+    """Per-(token, head) symmetric int8: x [B, Hkv, T, D] -> (q, scale [B,Hkv,T])."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
+def append_layer(
+    k_cache: jax.Array,      # [B, Hkv, S, D] (one layer)
+    v_cache: jax.Array,
+    k_scale: Optional[jax.Array],  # [B, Hkv, S]
+    v_scale: Optional[jax.Array],
+    k_new: jax.Array,        # [B, Hkv, T, D] bf16
+    v_new: jax.Array,
+    start: jax.Array,        # [] int32 write offset (uniform across batch)
+):
+    """Write T new positions at `start`. Returns updated (k, v, ks, vs)."""
+    quantized = k_cache.dtype == jnp.int8
+    if quantized:
+        kq, ks_new = quantize_kv(k_new)
+        vq, vs_new = quantize_kv(v_new)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, kq, (0, 0, start, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, vq, (0, 0, start, 0))
+        k_scale = jax.lax.dynamic_update_slice(k_scale, ks_new, (0, 0, start))
+        v_scale = jax.lax.dynamic_update_slice(v_scale, vs_new, (0, 0, start))
+    else:
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_new.astype(k_cache.dtype), (0, 0, start, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_new.astype(v_cache.dtype), (0, 0, start, 0)
+        )
+    return k_cache, v_cache, k_scale, v_scale
+
+
+def rollback(cache: KVCache, n: int | jax.Array) -> KVCache:
+    """Drop the last n tokens (reference: KVMeta.remove / Llm::eraseHistory)."""
+    return dataclasses.replace(
+        cache, length=jnp.maximum(cache.length - n, 0)
+    )
+
+
+def reset(cache: KVCache) -> KVCache:
+    """Clear all history (lengths to zero; data is masked by length)."""
+    return dataclasses.replace(
+        cache, length=jnp.zeros_like(cache.length)
+    )

@@ -1,0 +1,185 @@
+"""High-level LLM engine: load -> prefill -> streamed decode.
+
+TPU re-design of the reference's `Llm` class
+(/root/reference/transformers/llm/engine/include/llm/llm.hpp:140-200,
+src/llm.cpp): same lifecycle (create from config -> load -> response/generate
+with streaming + perf counters -> KV-cache control), rebuilt around jitted
+prefill/decode functions and a fixed-capacity device KV cache.
+
+Capability map vs the reference:
+  Llm::createLLM(config)   -> Llm.load(...) / Llm.from_pretrained(...)
+  Llm::response/generate   -> Llm.generate / Llm.stream
+  chunked prefill          -> generate.run_prefill (bucketed chunks)
+  KVMeta add/remove/reserve-> Llm.reset / Llm.rollback (length bookkeeping)
+  LlmContext perf counters -> Llm.perf (prefill_s, decode_s, tok/s)
+  module pool per shape    -> jit cache keyed on bucketed shapes
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mnn_tpu.models.config import PRESETS, ModelConfig, RuntimeConfig
+from mnn_tpu.models.decoder import Params, forward, init_random_params
+from mnn_tpu.runtime import generate as gen
+from mnn_tpu.runtime import kvcache, sampler
+from mnn_tpu.runtime.tokenizer import load_tokenizer
+
+
+@dataclasses.dataclass
+class PerfContext:
+    """≈ reference LlmContext counters (llm.hpp:108-126)."""
+
+    prompt_len: int = 0
+    gen_len: int = 0
+    prefill_s: float = 0.0
+    decode_s: float = 0.0
+    sample_s: float = 0.0
+
+    @property
+    def prefill_tok_s(self) -> float:
+        return self.prompt_len / self.prefill_s if self.prefill_s else 0.0
+
+    @property
+    def decode_tok_s(self) -> float:
+        return self.gen_len / self.decode_s if self.decode_s else 0.0
+
+
+class Llm:
+    def __init__(
+        self,
+        config: ModelConfig,
+        params: Params,
+        rt: Optional[RuntimeConfig] = None,
+        tokenizer=None,
+    ):
+        self.config = config
+        self.params = params
+        self.rt = rt or RuntimeConfig()
+        self.tokenizer = tokenizer or load_tokenizer(None)
+        self.cache = self._new_cache()
+        self.perf = PerfContext()
+        self._key = jax.random.PRNGKey(self.rt.seed)
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def synthetic(
+        cls, preset: str = "qwen2-0.5b", rt: Optional[RuntimeConfig] = None,
+        seed: int = 0,
+    ) -> "Llm":
+        """Random-weight model (benchmarks / smoke tests; no files needed)."""
+        rt = rt or RuntimeConfig()
+        config = PRESETS[preset]
+        params = init_random_params(
+            config, jax.random.PRNGKey(seed),
+            quant_bits=rt.quant_bits, quant_block=rt.quant_block,
+            sym=rt.quant_sym,
+        )
+        return cls(config, params, rt)
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str, rt: Optional[RuntimeConfig] = None) -> "Llm":
+        """Load a converted checkpoint directory (see mnn_tpu.convert)."""
+        from mnn_tpu.convert.checkpoint import load_checkpoint
+
+        config, params, saved_rt = load_checkpoint(model_dir)
+        rt = rt or saved_rt
+        return cls(config, params, rt, tokenizer=load_tokenizer(model_dir))
+
+    def _new_cache(self):
+        return kvcache.create(
+            self.config.num_layers, self.rt.max_batch, self.config.num_kv_heads,
+            self.rt.max_seq_len, self.config.head_dim,
+            quantized=self.rt.kv_quant,
+        )
+
+    # -- KV-cache control (reference: setKVCacheInfo / eraseHistory) -------
+
+    def reset(self):
+        self.cache = kvcache.reset(self.cache)
+
+    def rollback(self, n: int):
+        self.cache = kvcache.rollback(self.cache, n)
+
+    @property
+    def context_len(self) -> int:
+        return int(self.cache.length[0])
+
+    # -- generation --------------------------------------------------------
+
+    def stream(
+        self,
+        prompt: Optional[str] = None,
+        *,
+        token_ids: Optional[List[int]] = None,
+        max_new_tokens: Optional[int] = None,
+        use_template: bool = False,
+    ) -> Iterator[int]:
+        """Yield generated token ids as decode blocks complete."""
+        rt = self.rt
+        if token_ids is None:
+            text = prompt or ""
+            if use_template:
+                text = self.tokenizer.apply_chat_template(
+                    [{"role": "user", "content": prompt}]
+                )
+            token_ids = self.tokenizer.encode(text)
+        if not token_ids:
+            token_ids = [0]
+        max_new = max_new_tokens or rt.max_new_tokens
+        eos = getattr(self.tokenizer, "eos_ids", set())
+
+        tokens = jnp.asarray([token_ids] * rt.max_batch, jnp.int32)
+        self.perf = PerfContext(prompt_len=len(token_ids))
+
+        t0 = time.perf_counter()
+        logits, cache = gen.run_prefill(
+            self.params, self.config, rt, tokens, self.cache
+        )
+        jax.block_until_ready(logits)
+        self.perf.prefill_s = time.perf_counter() - t0
+
+        state = sampler.make_state(rt.max_batch)
+        produced = 0
+        t0 = time.perf_counter()
+        while produced < max_new:
+            steps = min(rt.decode_block, max_new - produced)
+            toks, logits, cache, state, self._key = gen.decode_steps(
+                self.params, self.config, cache, logits, state, self._key,
+                steps=steps, sampler=rt.sampler, temperature=rt.temperature,
+                top_k=rt.top_k, top_p=rt.top_p, min_p=rt.min_p,
+                penalty=rt.penalty,
+            )
+            # single host transfer per block (per-token int() would cost one
+            # tunnel round-trip each — observed 30 ms/token)
+            block = np.asarray(toks[0]).tolist()
+            produced += steps
+            stop = False
+            for t in block:
+                self.perf.gen_len += 1
+                yield t
+                if t in eos:
+                    stop = True
+                    break
+            self.perf.decode_s = time.perf_counter() - t0
+            if stop:
+                break
+        self.cache = cache
+
+    def generate(self, prompt: Optional[str] = None, **kw) -> str:
+        ids = list(self.stream(prompt, **kw))
+        eos = getattr(self.tokenizer, "eos_ids", set())
+        if ids and ids[-1] in eos:
+            ids = ids[:-1]
+        return self.tokenizer.decode(ids)
+
+    def response(self, prompt: str, **kw) -> str:
+        """Chat-style single-turn response (reference Llm::response)."""
+        return self.generate(prompt, use_template=True, **kw)

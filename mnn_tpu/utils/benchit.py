@@ -38,13 +38,22 @@ def chain(fn: Callable, x: jax.Array, iters: int = 20, warmup: int = 1):
         return jax.lax.fori_loop(0, iters, body, (jnp.float32(0), y0))[1]
 
     eps = jnp.float32(1e-30)
-    jax.block_until_ready(loop(x, eps))  # compile + warm caches
+    sync(loop(x, eps))  # compile + warm caches
     times = []
     for _ in range(max(warmup, 1)):
         t0 = time.perf_counter()
-        jax.block_until_ready(loop(x, eps))
+        sync(loop(x, eps))
         times.append((time.perf_counter() - t0) / iters)
     return min(times)
+
+
+def sync(tree):
+    """Actually wait for device work: on the axon tunnel,
+    `block_until_ready` returns before execution finishes; only fetching a
+    value to the host synchronizes. Pulls one scalar per leaf."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        _ = jax.device_get(leaf.ravel()[0])
+    return tree
 
 
 def once(fn: Callable, *args) -> float:

@@ -52,7 +52,7 @@ class TestFlashAttention:
         q = _rand((b, h, t, d), 0).astype(jnp.bfloat16)
         k = _rand((b, hkv, t, d), 1).astype(jnp.bfloat16)
         v = _rand((b, hkv, t, d), 2).astype(jnp.bfloat16)
-        got = flash_attention(q, k, v, block_q=32, block_kv=32)
+        got = flash_attention(q, k, v, block_q=32, block_kv=32, interpret=True)
         want = naive_attention(
             q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
         )
@@ -68,7 +68,7 @@ class TestFlashAttention:
         k = _rand((b, h, s, d), 4).astype(jnp.bfloat16)
         v = _rand((b, h, s, d), 5).astype(jnp.bfloat16)
         got = flash_attention(q, k, v, kv_len=kv_len, q_offset=q_offset,
-                              block_q=16, block_kv=32)
+                              block_q=16, block_kv=32, interpret=True)
         want = naive_attention(
             q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
             kv_len=32, q_offset=16,
@@ -80,7 +80,7 @@ class TestFlashAttention:
         q = _rand((b, h, t, d), 6).astype(jnp.bfloat16)
         k = _rand((b, h, t, d), 7).astype(jnp.bfloat16)
         v = _rand((b, h, t, d), 8).astype(jnp.bfloat16)
-        got = flash_attention(q, k, v, causal=False, block_q=16, block_kv=16)
+        got = flash_attention(q, k, v, causal=False, block_q=16, block_kv=16, interpret=True)
         want = naive_attention(
             q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
             causal=False,
@@ -97,7 +97,7 @@ class TestDecodeAttention:
         q = _rand((b, h, d), 9).astype(jnp.bfloat16)
         k = _rand((b, hkv, s, d), 10).astype(jnp.bfloat16)
         v = _rand((b, hkv, s, d), 11).astype(jnp.bfloat16)
-        got = decode_attention(q, k, v, kv_len, block_kv=128)
+        got = decode_attention(q, k, v, kv_len, block_kv=128, interpret=True)
         want = naive_attention(
             q.astype(jnp.float32)[:, :, None], k.astype(jnp.float32),
             v.astype(jnp.float32), kv_len=kv_len, causal=False,
@@ -117,7 +117,7 @@ class TestDecodeAttention:
         kq = jnp.round(kf / ks[..., None]).astype(jnp.int8)
         vq = jnp.round(vf / vs[..., None]).astype(jnp.int8)
         got = decode_attention(
-            q, kq, vq, kv_len, k_scale=ks, v_scale=vs, block_kv=128
+            q, kq, vq, kv_len, k_scale=ks, v_scale=vs, block_kv=128, interpret=True
         )
         want = naive_attention(
             q.astype(jnp.float32)[:, :, None], kf, vf,

@@ -86,7 +86,7 @@ class TestDequantMatmul:
         w = _rand((k, n), seed=4)
         x = jnp.asarray(_rand((24, k), seed=5))
         ql = quantize(w, bits=bits, block_size=128, sym=sym)
-        got = dequant_matmul(x, ql)
+        got = dequant_matmul(x, ql, interpret=True)
         want = matmul_dequant_ref(x, ql)
         _assert_close_rel(got, want)
 
@@ -95,7 +95,7 @@ class TestDequantMatmul:
         k, n = 256, 128
         ql = quantize(_rand((k, n), seed=4), bits=4, block_size=128)
         x = jnp.asarray(_rand((1, k), seed=5))
-        got = dequant_matmul(x, ql)
+        got = dequant_matmul(x, ql, interpret=True)
         _assert_close_rel(got, matmul_dequant_ref(x, ql))
 
     def test_out_bias(self):
@@ -103,14 +103,14 @@ class TestDequantMatmul:
         ql = quantize(_rand((k, n)), bits=4, block_size=128,
                       out_bias=jnp.arange(n, dtype=jnp.float32))
         x = jnp.asarray(_rand((4, k), seed=6))
-        got = dequant_matmul(x, ql)
+        got = dequant_matmul(x, ql, interpret=True)
         _assert_close_rel(got, matmul_dequant_ref(x, ql))
 
     def test_3d_input(self):
         k, n = 256, 128
         ql = quantize(_rand((k, n)), bits=4)
         x = jnp.asarray(_rand((2, 3, k), seed=7))
-        got = dequant_matmul(x, ql)
+        got = dequant_matmul(x, ql, interpret=True)
         assert got.shape == (2, 3, n)
 
     @pytest.mark.parametrize("bits,tol", [(4, 0.15), (8, 0.012)])
