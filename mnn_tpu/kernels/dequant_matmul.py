@@ -156,7 +156,7 @@ def dequant_matmul(
             bytes_accessed=m_pad * k * 2 + k * n // pack + m_pad * n * 2,
             transcendentals=0,
         ),
-        interpret=interpret,
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(
         x2,
         ql.packed,

@@ -212,7 +212,7 @@ def flash_attention(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-        interpret=interpret,
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(lens, q3, k3, v3)
     return out.reshape(b, h, tq_pad, d)[:, :, :tq]
 
@@ -370,6 +370,6 @@ def decode_attention(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-        interpret=interpret,
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(lens, qg, k3, v3, ks, vs)
     return out.reshape(b, hkv, gp, d)[:, :, :group].reshape(b, h, d)

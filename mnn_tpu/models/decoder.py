@@ -38,11 +38,19 @@ from mnn_tpu.runtime.kvcache import KVCache
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class LayerParams:
-    """Per-layer weights, stacked on a leading num_layers axis."""
+    """Per-layer weights, stacked on a leading num_layers axis.
 
-    wqkv: QuantizedLinear      # [hidden, (H + 2*Hkv) * D]
+    wqkv output layout is grouped BY KV HEAD: [Hkv, G+2, D] flattened, where
+    G = H/Hkv query heads, then that group's K row, then its V row. Any TP
+    degree dividing Hkv then shards whole (q,k,v) groups contiguously, so
+    the same slicing code serves sharded and unsharded execution (a plain
+    [Q|K|V] concat would interleave wrongly under contiguous N-sharding).
+    """
+
+    wqkv: QuantizedLinear      # [hidden, Hkv * (G+2) * D]
     wo: QuantizedLinear        # [H*D, hidden]
-    wgu: QuantizedLinear       # [hidden, 2*intermediate] (gate | up)
+    wgu: QuantizedLinear       # [hidden, intermediate*2], col 2i = gate_i,
+                               # col 2i+1 = up_i (pairs survive N-sharding)
     wdown: QuantizedLinear     # [intermediate, hidden]
     input_norm: jax.Array      # [L, hidden]
     post_norm: jax.Array       # [L, hidden]
@@ -66,26 +74,58 @@ def init_random_params(
     quant_block: int = 128,
     sym: bool = False,
     scale: float = 0.02,
+    tp_shards: int = 1,
+    fast: bool = False,
 ) -> Params:
-    """Random quantized weights (bench/tests; real weights come from convert/)."""
+    """Random quantized weights (bench/tests; real weights come from convert/).
+
+    tp_shards: row-parallel layers (wo, wdown) get a block size that tiles
+    each K-partition so TP sharding keeps whole quant blocks.
+    fast: generate weights directly in packed form (skips the quantize pass;
+    use for large-model benchmarks where only statistics matter).
+    """
     c = config
     keys = jax.random.split(rng, 8)
 
-    def ql(key, k_dim, n_dim, with_bias):
-        w = jax.random.normal(key, (c.num_layers, k_dim, n_dim), jnp.float32) * scale
-        qs = [
-            quantize(w[i], bits=quant_bits, block_size=quant_block, sym=sym,
-                     out_bias=jnp.zeros((n_dim,), jnp.float32) if with_bias else None)
-            for i in range(c.num_layers)
-        ]
-        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *qs)
+    from mnn_tpu.quant.quantize import choose_block_size
+
+    def ql(key, k_dim, n_dim, with_bias, shards=1):
+        bs = choose_block_size(k_dim, quant_block, shards)
+        if fast:
+            # statistically-equivalent quantized weights, built directly in
+            # packed form (quantizing random floats costs minutes of
+            # dispatch/compile on the tunnel for zero benefit)
+            pack = 2 if quant_bits == 4 else 1
+            packed = jax.random.randint(
+                key, (c.num_layers, k_dim // pack, n_dim), -128, 128, jnp.int32
+            ).astype(jnp.int8)
+            qmax = (1 << quant_bits) - 1
+            s = jnp.full(
+                (c.num_layers, k_dim // bs, n_dim), 2 * scale / qmax, jnp.float32
+            )
+            stacked = QuantizedLinear(
+                packed=packed, scale=s, bias=-s * (qmax / 2), out_bias=None,
+                bits=quant_bits, block_size=bs,
+            )
+        else:
+            w = jax.random.normal(
+                key, (c.num_layers, k_dim, n_dim), jnp.float32
+            ) * scale
+            stacked = jax.vmap(
+                lambda wi: quantize(wi, bits=quant_bits, block_size=bs, sym=sym)
+            )(w)
+        if with_bias:
+            stacked = dataclasses.replace(
+                stacked, out_bias=jnp.zeros((c.num_layers, n_dim), jnp.float32)
+            )
+        return stacked
 
     qkv_n = (c.num_heads + 2 * c.num_kv_heads) * c.head_dim
     layers = LayerParams(
         wqkv=ql(keys[0], c.hidden_size, qkv_n, c.attention_bias),
-        wo=ql(keys[1], c.q_dim, c.hidden_size, False),
+        wo=ql(keys[1], c.q_dim, c.hidden_size, False, tp_shards),
         wgu=ql(keys[2], c.hidden_size, 2 * c.intermediate_size, False),
-        wdown=ql(keys[3], c.intermediate_size, c.hidden_size, False),
+        wdown=ql(keys[3], c.intermediate_size, c.hidden_size, False, tp_shards),
         input_norm=jnp.ones((c.num_layers, c.hidden_size), jnp.float32),
         post_norm=jnp.ones((c.num_layers, c.hidden_size), jnp.float32),
         q_norm=jnp.ones((c.num_layers, c.head_dim), jnp.float32) if c.qk_norm else None,
@@ -132,7 +172,9 @@ def _attention(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config", "all_logits", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("config", "all_logits", "interpret", "tp_axis")
+)
 def forward(
     params: Params,
     config: ModelConfig,
@@ -141,10 +183,19 @@ def forward(
     *,
     all_logits: bool = False,
     interpret: Optional[bool] = None,
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """Run the model over `tokens`, appending T positions to the cache.
 
     Returns (logits [B, V] or [B, T, V], updated cache).
+
+    Tensor parallelism (inside shard_map): when `tp_axis` names a mesh axis,
+    this function sees the LOCAL shard of every weight — attention heads and
+    MLP intermediate are output-sharded, `wo`/`wdown` are input-sharded — and
+    inserts the two reduce collectives (psum after attention out-proj and
+    after MLP down-proj), the standard Megatron-style cut re-expressed with
+    jax collectives over ICI (SURVEY.md §2.11: the distributed layer the
+    single-device reference lacks).
     """
     c = config
     b, t = tokens.shape
@@ -159,13 +210,13 @@ def forward(
     def layer_step(x, layer):
         lp, k_c, v_c, ks_c, vs_c = layer
         h = rms_norm(x, lp.input_norm, c.rms_norm_eps)
-        qkv = dequant_matmul(h, lp.wqkv, interpret=interpret)  # [B,T,q+2kv]
-        q = qkv[..., :q_dim]
-        k = qkv[..., q_dim : q_dim + kv_dim]
-        v = qkv[..., q_dim + kv_dim :]
-        q = q.reshape(b, t, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
-        k = k.reshape(b, t, c.num_kv_heads, c.head_dim).transpose(0, 2, 1, 3)
-        v = v.reshape(b, t, c.num_kv_heads, c.head_dim).transpose(0, 2, 1, 3)
+        qkv = dequant_matmul(h, lp.wqkv, interpret=interpret)
+        g = c.num_heads // c.num_kv_heads
+        qkv = qkv.reshape(b, t, c.num_kv_heads, g + 2, c.head_dim)
+        q = qkv[..., :g, :].reshape(b, t, c.num_heads, c.head_dim)
+        q = q.transpose(0, 2, 1, 3)                 # [B, H, T, D]
+        k = qkv[..., g, :].transpose(0, 2, 1, 3)    # [B, Hkv, T, D]
+        v = qkv[..., g + 1, :].transpose(0, 2, 1, 3)
         if c.qk_norm:
             q = rms_norm(q, lp.q_norm, c.rms_norm_eps)
             k = rms_norm(k, lp.k_norm, c.rms_norm_eps)
@@ -177,12 +228,25 @@ def forward(
         )
         att = _attention(c, q, k_c, v_c, ks_c, vs_c, kv_len, start, interpret)
         att = att.transpose(0, 2, 1, 3).reshape(b, t, q_dim)
-        x = x + dequant_matmul(att, lp.wo, interpret=interpret)
+        o = dequant_matmul(
+            att, lp.wo, interpret=interpret,
+            out_dtype=jnp.float32 if tp_axis else jnp.bfloat16,
+        )
+        if tp_axis:
+            o = jax.lax.psum(o, tp_axis)
+        x = x + o.astype(x.dtype)
 
         h2 = rms_norm(x, lp.post_norm, c.rms_norm_eps)
         gu = dequant_matmul(h2, lp.wgu, interpret=interpret)
-        act = swiglu(gu[..., : c.intermediate_size], gu[..., c.intermediate_size :])
-        x = x + dequant_matmul(act, lp.wdown, interpret=interpret)
+        gu = gu.reshape(b, t, gu.shape[-1] // 2, 2)
+        act = swiglu(gu[..., 0], gu[..., 1])
+        d = dequant_matmul(
+            act, lp.wdown, interpret=interpret,
+            out_dtype=jnp.float32 if tp_axis else jnp.bfloat16,
+        )
+        if tp_axis:
+            d = jax.lax.psum(d, tp_axis)
+        x = x + d.astype(x.dtype)
         return x, (k_c, v_c, ks_c, vs_c)
 
     def scan_body(x, layer):
@@ -202,6 +266,9 @@ def forward(
         x.astype(jnp.bfloat16), head.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
+    if tp_axis and params.lm_head is not None:
+        # vocab-sharded head: gather the full logit row for sampling
+        logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
 
     new_cache = KVCache(
         k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new, length=kv_len

@@ -60,6 +60,19 @@ class QuantizedLinear:
         return (self.in_features, self.out_features)
 
 
+def choose_block_size(k: int, requested: int, shards: int = 1) -> int:
+    """Largest block <= requested such that blocks tile each of `shards`
+    equal K-partitions (needed so row-parallel sharding keeps whole quant
+    blocks, scales traveling with their weights)."""
+    if k % shards:
+        raise ValueError(f"shards {shards} must divide K={k}")
+    local = k // shards
+    bs = min(requested, local)
+    while local % bs or bs % 2:
+        bs -= 1
+    return bs
+
+
 def _check_args(k: int, bits: int, block_size: int):
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")

@@ -9,7 +9,16 @@ paths run on TPU in bench/serving.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even though the environment presets JAX_PLATFORMS=axon (the TPU
+# tunnel): the suite must run hermetically on the virtual 8-device mesh.
+# A pytest plugin imports jax before this conftest runs, so setting env vars
+# alone is not enough — use jax.config (backends are still uninitialized).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
