@@ -1,0 +1,192 @@
+"""mnn-tpu CLI: chat / run / bench / convert / serve.
+
+Command-surface parity with the reference's tools:
+  chat    ≈ llm_demo.cpp interactive loop (transformers/llm/engine/demo/llm_demo.cpp:265)
+  run     ≈ llm_demo single-prompt mode
+  bench   ≈ llm_bench pp/tg/pg modes (app/llm_benchmark.cpp)
+  convert ≈ llmexport.py / MNNConvert (tools/converter)
+  serve   ≈ mls_server.cpp OpenAI-compatible server (app/mls_server.cpp:168-271)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_model_args(p):
+    p.add_argument("--model", help="converted checkpoint dir")
+    p.add_argument("--synthetic", help="synthetic preset (e.g. qwen2-0.5b)")
+    p.add_argument("--max-seq-len", type=int, default=4096)
+    p.add_argument("--decode-block", type=int, default=32)
+    p.add_argument("--prefill-chunk", type=int, default=512)
+    p.add_argument("--sampler", default="mixed")
+    p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--top-k", type=int, default=40)
+    p.add_argument("--top-p", type=float, default=0.9)
+    p.add_argument("--penalty", type=float, default=1.0)
+    p.add_argument("--no-kv-quant", action="store_true")
+    p.add_argument("--max-new-tokens", type=int, default=512)
+    p.add_argument("--seed", type=int, default=0)
+
+
+def _build_llm(args):
+    from mnn_tpu.models.config import RuntimeConfig
+    from mnn_tpu.runtime.llm import Llm
+    from mnn_tpu.utils.compile_cache import enable as enable_cache
+
+    enable_cache()
+    rt = RuntimeConfig(
+        max_seq_len=args.max_seq_len, decode_block=args.decode_block,
+        prefill_chunk=args.prefill_chunk, sampler=args.sampler,
+        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+        penalty=args.penalty, kv_quant=not args.no_kv_quant,
+        max_new_tokens=args.max_new_tokens, seed=args.seed,
+    )
+    if args.model:
+        return Llm.from_pretrained(args.model, rt=rt)
+    preset = args.synthetic or "qwen2-0.5b"
+    print(f"[mnn-tpu] no --model given; synthetic random-weight '{preset}'",
+          file=sys.stderr)
+    return Llm.synthetic(preset, rt=rt)
+
+
+def cmd_chat(args):
+    llm = _build_llm(args)
+    print("mnn-tpu chat — /reset clears context, /exit quits", file=sys.stderr)
+    while True:
+        try:
+            prompt = input("> ")
+        except (EOFError, KeyboardInterrupt):
+            break
+        if prompt.strip() == "/exit":
+            break
+        if prompt.strip() == "/reset":
+            llm.reset()
+            print("[context cleared]", file=sys.stderr)
+            continue
+        buf = []
+        for tok in llm.stream(prompt, use_template=True):
+            buf.append(tok)
+            text = llm.tokenizer.decode(buf)
+            if not text.endswith("�"):
+                sys.stdout.write(text)
+                sys.stdout.flush()
+                buf.clear()
+        p = llm.perf
+        print(f"\n[prefill {p.prefill_tok_s:.1f} tok/s | decode "
+              f"{p.decode_tok_s:.1f} tok/s]", file=sys.stderr)
+
+
+def cmd_run(args):
+    llm = _build_llm(args)
+    out = llm.generate(args.prompt, use_template=not args.raw)
+    print(out)
+    p = llm.perf
+    print(f"[prefill {p.prompt_len} tok @ {p.prefill_tok_s:.1f} tok/s | "
+          f"decode {p.gen_len} tok @ {p.decode_tok_s:.1f} tok/s]",
+          file=sys.stderr)
+
+
+def cmd_bench(args):
+    llm = _build_llm(args)
+    llm.rt.sampler = "greedy"
+    results = []
+    for mode in args.modes.split(","):
+        kind, _, rest = mode.partition(":")
+        pp = tg = 0
+        if kind == "pp":
+            pp = int(rest or 512)
+        elif kind == "tg":
+            pp, tg = 4, int(rest or 128)
+        elif kind == "pg":
+            a, _, b = rest.partition("+")
+            pp, tg = int(a or 512), int(b or 128)
+        else:
+            raise SystemExit(f"unknown bench mode {mode}")
+        samples = {"prefill": [], "decode": []}
+        for _ in range(args.reps + 1):
+            llm.reset()
+            for _t in llm.stream(token_ids=list(range(max(pp, 1))),
+                                 max_new_tokens=max(tg, 1)):
+                pass
+            samples["prefill"].append(llm.perf.prefill_tok_s)
+            samples["decode"].append(llm.perf.decode_tok_s)
+        # drop run 0 (compile)
+        import statistics
+
+        row = {"mode": mode, "pp": pp, "tg": tg}
+        for key in ("prefill", "decode"):
+            vals = samples[key][1:]
+            row[key + "_tok_s"] = round(statistics.mean(vals), 2)
+            row[key + "_stddev"] = round(
+                statistics.stdev(vals) if len(vals) > 1 else 0.0, 2
+            )
+        results.append(row)
+        print(json.dumps(row))
+    return results
+
+
+def cmd_convert(args):
+    from mnn_tpu.convert.hf import convert_hf
+
+    t0 = time.time()
+    convert_hf(
+        args.hf, args.out, bits=args.bits, block_size=args.block,
+        sym=args.sym, tp_shards=args.tp,
+    )
+    print(f"converted {args.hf} -> {args.out} "
+          f"(int{args.bits}, block {args.block}, {time.time()-t0:.1f}s)")
+
+
+def cmd_serve(args):
+    from mnn_tpu.serve.server import serve
+
+    llm = _build_llm(args)
+    serve(llm, host=args.host, port=args.port)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="mnn-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("chat", help="interactive chat")
+    _add_model_args(p)
+    p.set_defaults(fn=cmd_chat)
+
+    p = sub.add_parser("run", help="single prompt")
+    _add_model_args(p)
+    p.add_argument("prompt")
+    p.add_argument("--raw", action="store_true", help="no chat template")
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("bench", help="pp/tg/pg benchmark")
+    _add_model_args(p)
+    p.add_argument("--modes", default="pp:512,tg:128,pg:512+128")
+    p.add_argument("--reps", type=int, default=3)
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("convert", help="convert a HF checkpoint")
+    p.add_argument("--hf", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--bits", type=int, default=4)
+    p.add_argument("--block", type=int, default=128)
+    p.add_argument("--sym", action="store_true")
+    p.add_argument("--tp", type=int, default=1,
+                   help="target tensor-parallel shards (affects block sizes)")
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("serve", help="OpenAI-compatible server")
+    _add_model_args(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=9090)
+    p.set_defaults(fn=cmd_serve)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""HF checkpoint -> quantized mnn_tpu checkpoint.
+
+Equivalent of the reference's `llmexport.py` (SURVEY.md §2.9:
+/root/reference/transformers/llm/export/llmexport.py + utils/model_mapper.py):
+reads a local HuggingFace model directory (config.json + *.safetensors),
+re-packs weights into the decoder's fused layouts, quantizes with per-block
+scales, and writes the self-contained checkpoint directory.
+
+Layout re-packing (must mirror mnn_tpu.models.decoder.LayerParams):
+  * wqkv grouped by kv head: [Hkv, (G q-heads | K | V), D] on the output axis;
+  * wgu gate/up channel-interleaved: output col 2i = gate_i, 2i+1 = up_i;
+  * all weights transposed to [in, out] (HF/torch store [out, in]).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import json
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mnn_tpu.models.config import ModelConfig, RuntimeConfig
+from mnn_tpu.models.decoder import LayerParams, Params
+from mnn_tpu.quant.quantize import choose_block_size, quantize
+
+
+def _load_hf_tensors(model_dir: str) -> Dict[str, np.ndarray]:
+    from safetensors import safe_open
+
+    files = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no *.safetensors under {model_dir}")
+    out = {}
+    for path in files:
+        with safe_open(path, framework="numpy") as f:
+            for k in f.keys():
+                out[k] = f.get_tensor(k)
+    return out
+
+
+def _f32(x: np.ndarray) -> np.ndarray:
+    if x.dtype == np.uint16:  # raw bf16 storage
+        import ml_dtypes
+
+        x = x.view(ml_dtypes.bfloat16)
+    return np.asarray(x, np.float32)
+
+
+def convert_hf(
+    model_dir: str,
+    out_dir: str,
+    *,
+    bits: int = 4,
+    block_size: int = 128,
+    sym: bool = False,
+    tp_shards: int = 1,
+    rt: Optional[RuntimeConfig] = None,
+) -> None:
+    """Convert + quantize a local HF decoder checkpoint (qwen2/qwen3/llama)."""
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+    config = ModelConfig.from_hf_config(hf_cfg, name=os.path.basename(model_dir.rstrip("/")))
+    t = _load_hf_tensors(model_dir)
+    c = config
+    g = c.num_heads // c.num_kv_heads
+    d = c.head_dim
+
+    def get(name):
+        return _f32(t[name])
+
+    def maybe(name):
+        return _f32(t[name]) if name in t else None
+
+    def quantize_stacked(mats, biases, bs):
+        """mats: list of [K, N] per layer -> stacked QuantizedLinear."""
+        qs = [
+            quantize(m, bits=bits, block_size=bs, sym=sym)
+            for m in mats
+        ]
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *qs)
+        if biases[0] is not None:
+            stacked = dataclasses.replace(
+                stacked, out_bias=jnp.asarray(np.stack(biases), jnp.float32)
+            )
+        return stacked
+
+    wqkv_mats, wqkv_biases = [], []
+    wo_mats, wgu_mats, wdown_mats = [], [], []
+    in_norms, post_norms, q_norms, k_norms = [], [], [], []
+    for i in range(c.num_layers):
+        p = f"model.layers.{i}."
+        wq = get(p + "self_attn.q_proj.weight").T  # [H, q_dim]
+        wk = get(p + "self_attn.k_proj.weight").T  # [H, kv_dim]
+        wv = get(p + "self_attn.v_proj.weight").T
+        hidden = wq.shape[0]
+        # group by kv head: [H, Hkv, G+2, D]
+        wq4 = wq.reshape(hidden, c.num_kv_heads, g, d)
+        wk4 = wk.reshape(hidden, c.num_kv_heads, 1, d)
+        wv4 = wv.reshape(hidden, c.num_kv_heads, 1, d)
+        wqkv = np.concatenate([wq4, wk4, wv4], axis=2).reshape(hidden, -1)
+        wqkv_mats.append(wqkv)
+        bq = maybe(p + "self_attn.q_proj.bias")
+        if bq is not None:
+            bk = get(p + "self_attn.k_proj.bias")
+            bv = get(p + "self_attn.v_proj.bias")
+            b4 = np.concatenate(
+                [
+                    bq.reshape(c.num_kv_heads, g, d),
+                    bk.reshape(c.num_kv_heads, 1, d),
+                    bv.reshape(c.num_kv_heads, 1, d),
+                ],
+                axis=1,
+            ).reshape(-1)
+            wqkv_biases.append(b4)
+        else:
+            wqkv_biases.append(None)
+
+        wo_mats.append(get(p + "self_attn.o_proj.weight").T)  # [q_dim, H]
+        wg = get(p + "mlp.gate_proj.weight").T  # [H, inter]
+        wu = get(p + "mlp.up_proj.weight").T
+        wgu_mats.append(np.stack([wg, wu], axis=-1).reshape(hidden, -1))
+        wdown_mats.append(get(p + "mlp.down_proj.weight").T)  # [inter, H]
+
+        in_norms.append(get(p + "input_layernorm.weight"))
+        post_norms.append(get(p + "post_attention_layernorm.weight"))
+        if c.qk_norm:
+            q_norms.append(get(p + "self_attn.q_norm.weight"))
+            k_norms.append(get(p + "self_attn.k_norm.weight"))
+
+    bs_qkv = choose_block_size(c.hidden_size, block_size)
+    bs_wo = choose_block_size(c.q_dim, block_size, tp_shards)
+    bs_gu = choose_block_size(c.hidden_size, block_size)
+    bs_down = choose_block_size(c.intermediate_size, block_size, tp_shards)
+
+    layers = LayerParams(
+        wqkv=quantize_stacked(wqkv_mats, wqkv_biases, bs_qkv),
+        wo=quantize_stacked(wo_mats, [None], bs_wo),
+        wgu=quantize_stacked(wgu_mats, [None], bs_gu),
+        wdown=quantize_stacked(wdown_mats, [None], bs_down),
+        input_norm=jnp.asarray(np.stack(in_norms), jnp.float32),
+        post_norm=jnp.asarray(np.stack(post_norms), jnp.float32),
+        q_norm=jnp.asarray(np.stack(q_norms), jnp.float32) if c.qk_norm else None,
+        k_norm=jnp.asarray(np.stack(k_norms), jnp.float32) if c.qk_norm else None,
+    )
+
+    emb = jnp.asarray(get("model.embed_tokens.weight"), jnp.bfloat16)
+    lm_head = None
+    if not c.tie_word_embeddings and "lm_head.weight" in t:
+        lm_head = jnp.asarray(get("lm_head.weight").T, jnp.bfloat16)
+    params = Params(
+        embedding=emb,
+        final_norm=jnp.asarray(get("model.norm.weight"), jnp.float32),
+        lm_head=lm_head,
+        layers=layers,
+    )
+
+    rt = (rt or RuntimeConfig()).merge(
+        quant_bits=bits, quant_block=block_size, quant_sym=sym
+    )
+    from mnn_tpu.convert.checkpoint import save_checkpoint
+
+    save_checkpoint(out_dir, config, params, rt, tokenizer_src=model_dir)

@@ -1,0 +1,177 @@
+"""OpenAI-compatible HTTP server.
+
+Equivalent of the reference's `mls_server.cpp`
+(/root/reference/transformers/llm/engine/app/mls_server.cpp:168-271):
+POST /v1/chat/completions (and /chat/completions) with optional SSE
+streaming, POST /reset, GET /v1/models and /metrics. Stdlib http.server —
+the engine is the bottleneck, not the HTTP layer. One request at a time per
+engine (the reference likewise serializes on a single LlmContext); the
+continuous-batching scheduler lands on top of this interface.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def _sse(obj) -> bytes:
+    return f"data: {json.dumps(obj)}\n\n".encode()
+
+
+def make_handler(llm, lock: threading.Lock):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path in ("/v1/models", "/models"):
+                self._json(200, {
+                    "object": "list",
+                    "data": [{
+                        "id": llm.config.name, "object": "model",
+                        "owned_by": "mnn_tpu",
+                    }],
+                })
+            elif self.path == "/metrics":
+                p = llm.perf
+                self._json(200, {
+                    "prompt_len": p.prompt_len, "gen_len": p.gen_len,
+                    "prefill_tok_s": round(p.prefill_tok_s, 2),
+                    "decode_tok_s": round(p.decode_tok_s, 2),
+                    "context_len": llm.context_len,
+                })
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                body = json.loads(self.rfile.read(length) or b"{}")
+            except json.JSONDecodeError:
+                self._json(400, {"error": {"message": "invalid JSON body"}})
+                return
+
+            if self.path in ("/reset", "/v1/reset"):
+                with lock:
+                    llm.reset()
+                self._json(200, {"ok": True})
+                return
+            if self.path not in ("/v1/chat/completions", "/chat/completions",
+                                 "/v1/completions", "/completions"):
+                self._json(404, {"error": "not found"})
+                return
+
+            chat = "chat" in self.path
+            try:
+                if chat:
+                    messages = body["messages"]
+                    prompt = llm.tokenizer.apply_chat_template(messages)
+                else:
+                    prompt = body["prompt"]
+            except (KeyError, TypeError) as e:
+                self._json(400, {"error": {"message": f"missing field: {e}"}})
+                return
+
+            max_tokens = body.get("max_tokens") or body.get(
+                "max_completion_tokens") or llm.rt.max_new_tokens
+            if body.get("temperature") is not None:
+                llm.rt.temperature = float(body["temperature"])
+            if body.get("top_p") is not None:
+                llm.rt.top_p = float(body["top_p"])
+            stream = bool(body.get("stream"))
+            rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
+            created = int(time.time())
+            model_name = body.get("model") or llm.config.name
+
+            with lock:
+                if not body.get("continue_context"):
+                    llm.reset()
+                if stream:
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+
+                    def chunk(data: bytes):
+                        self.wfile.write(f"{len(data):x}\r\n".encode())
+                        self.wfile.write(data + b"\r\n")
+
+                    buf = []
+                    for tok in llm.stream(token_ids=llm.tokenizer.encode(prompt),
+                                          max_new_tokens=max_tokens):
+                        buf.append(tok)
+                        text = llm.tokenizer.decode(buf)
+                        if text.endswith("�"):
+                            continue
+                        buf.clear()
+                        delta = {"content": text} if chat else None
+                        chunk(_sse({
+                            "id": rid, "object": "chat.completion.chunk",
+                            "created": created, "model": model_name,
+                            "choices": [{
+                                "index": 0,
+                                "delta": delta or {},
+                                "text": None if chat else text,
+                                "finish_reason": None,
+                            }],
+                        }))
+                    chunk(_sse({
+                        "id": rid, "object": "chat.completion.chunk",
+                        "created": created, "model": model_name,
+                        "choices": [{"index": 0, "delta": {},
+                                     "finish_reason": "stop"}],
+                    }))
+                    chunk(b"data: [DONE]\n\n")
+                    chunk(b"")
+                    return
+
+                text = llm.generate(
+                    token_ids=llm.tokenizer.encode(prompt),
+                    max_new_tokens=max_tokens,
+                )
+                p = llm.perf
+                msg = {"role": "assistant", "content": text}
+                self._json(200, {
+                    "id": rid, "object": "chat.completion" if chat else
+                    "text_completion", "created": created,
+                    "model": model_name,
+                    "choices": [{
+                        "index": 0,
+                        "message" if chat else "text": msg if chat else text,
+                        "finish_reason": "stop",
+                    }],
+                    "usage": {
+                        "prompt_tokens": p.prompt_len,
+                        "completion_tokens": p.gen_len,
+                        "total_tokens": p.prompt_len + p.gen_len,
+                    },
+                })
+
+    return Handler
+
+
+def serve(llm, host: str = "127.0.0.1", port: int = 9090):
+    lock = threading.Lock()
+    httpd = ThreadingHTTPServer((host, port), make_handler(llm, lock))
+    print(f"[mnn-tpu] serving OpenAI-compatible API on http://{host}:{port}")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
