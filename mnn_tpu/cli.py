@@ -141,6 +141,19 @@ def cmd_convert(args):
           f"(int{args.bits}, block {args.block}, {time.time()-t0:.1f}s)")
 
 
+def cmd_eval(args):
+    llm = _build_llm(args)
+    if args.file:
+        text = open(args.file).read()
+    else:
+        text = args.text or ""
+    ids = llm.tokenizer.encode(text)[: args.max_tokens_eval]
+    from mnn_tpu.runtime.evaluate import perplexity
+
+    ppl = perplexity(llm.params, llm.config, ids, chunk=args.prefill_chunk)
+    print(json.dumps({"tokens": len(ids), "perplexity": round(ppl, 4)}))
+
+
 def cmd_serve(args):
     from mnn_tpu.serve.server import serve
 
@@ -177,6 +190,13 @@ def main(argv=None):
     p.add_argument("--tp", type=int, default=1,
                    help="target tensor-parallel shards (affects block sizes)")
     p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("eval", help="perplexity over a text file")
+    _add_model_args(p)
+    p.add_argument("--file")
+    p.add_argument("--text")
+    p.add_argument("--max-tokens-eval", type=int, default=4096)
+    p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("serve", help="OpenAI-compatible server")
     _add_model_args(p)

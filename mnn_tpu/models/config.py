@@ -133,6 +133,10 @@ class RuntimeConfig:
     penalty_ngram: int = 8
     seed: int = 0
     max_new_tokens: int = 512
+    # speculative decoding (reference: speculative_decoding/generate.hpp)
+    speculative: str = "none"      # none | lookahead
+    draft_len: int = 7
+    ngram: int = 3
 
     @classmethod
     def from_json(cls, path: str) -> "RuntimeConfig":

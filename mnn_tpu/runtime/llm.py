@@ -139,6 +139,10 @@ class Llm:
         tokens = jnp.asarray([token_ids] * rt.max_batch, jnp.int32)
         self.perf = PerfContext(prompt_len=len(token_ids))
 
+        if rt.speculative == "lookahead" and rt.sampler == "greedy":
+            yield from self._stream_lookahead(token_ids, max_new, eos)
+            return
+
         t0 = time.perf_counter()
         logits, cache = gen.run_prefill(
             self.params, self.config, rt, tokens, self.cache
@@ -172,6 +176,27 @@ class Llm:
             if stop:
                 break
         self.cache = cache
+
+    def _stream_lookahead(self, token_ids, max_new, eos):
+        from mnn_tpu.runtime.speculative import lookahead_generate
+
+        t0 = time.perf_counter()
+        first = True
+        for block in lookahead_generate(
+            self, token_ids, max_new,
+            ngram=self.rt.ngram, draft_len=self.rt.draft_len,
+        ):
+            if first:
+                self.perf.prefill_s = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                first = False
+            for t in block:
+                self.perf.gen_len += 1
+                yield t
+                if t in eos:
+                    self.perf.decode_s = time.perf_counter() - t0
+                    return
+            self.perf.decode_s = time.perf_counter() - t0
 
     def generate(self, prompt: Optional[str] = None, **kw) -> str:
         ids = list(self.stream(prompt, **kw))
