@@ -158,7 +158,7 @@ def cmd_serve(args):
     from mnn_tpu.serve.server import serve
 
     llm = _build_llm(args)
-    serve(llm, host=args.host, port=args.port)
+    serve(llm, host=args.host, port=args.port, batch=args.batch)
 
 
 def main(argv=None):
@@ -202,6 +202,8 @@ def main(argv=None):
     _add_model_args(p)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=9090)
+    p.add_argument("--batch", type=int, default=1,
+                   help=">1 enables continuous batching")
     p.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)

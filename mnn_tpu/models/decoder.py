@@ -200,10 +200,10 @@ def forward(
     c = config
     b, t = tokens.shape
     x = params.embedding[tokens]  # [B, T, hidden]
-    start = cache.length[0]       # uniform write offset (batch steps in sync)
+    start = cache.length[0]       # uniform write offset (prefill)
     positions = cache.length[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
     cos, sin = rope_cos_sin(positions, c.head_dim, c.rope_theta)
-    kv_len = cache.length + t
+    kv_len = jnp.minimum(cache.length + t, cache.capacity)
 
     q_dim, kv_dim = c.q_dim, c.kv_dim
 
@@ -223,9 +223,15 @@ def forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        k_c, v_c, ks_c, vs_c = kvcache.append_layer(
-            k_c, v_c, ks_c, vs_c, k, v, start
-        )
+        if t == 1:
+            # decode: each slot writes at its own offset (continuous batching)
+            k_c, v_c, ks_c, vs_c = kvcache.append_decode_layer(
+                k_c, v_c, ks_c, vs_c, k, v, cache.length
+            )
+        else:
+            k_c, v_c, ks_c, vs_c = kvcache.append_layer(
+                k_c, v_c, ks_c, vs_c, k, v, start
+            )
         att = _attention(c, q, k_c, v_c, ks_c, vs_c, kv_len, start, interpret)
         att = att.transpose(0, 2, 1, 3).reshape(b, t, q_dim)
         o = dequant_matmul(

@@ -1,0 +1,342 @@
+"""Continuous batching engine: slot-based scheduler over one shared KV cache.
+
+This component is NEW DESIGN — the reference is single-stream batch-1
+(SURVEY.md §2.8 note: "no continuous batching / paged attention in MNN";
+concurrency there = clone modules). TPU-shaped decisions:
+
+* fixed SLOTS (batch rows of one [L, B, Hkv, S, D] cache) instead of paged
+  blocks: every jitted shape is static, so admission/eviction never
+  recompiles — the TPU analog of vLLM's paged KV is "slot = page of size
+  max_seq_len", trading HBM slack for zero-recompile scheduling;
+* decode runs the whole batch every step; each slot reads/writes at its own
+  context length (per-slot scatter append + per-slot kv_len masking in the
+  decode kernel). Idle slots compute garbage that is never read — wasted
+  FLOPs are cheaper than a shape change;
+* prefill admits one request at a time into a free slot via
+  `prefill_into_slot` (dynamic-slice the slot's cache row, run chunked
+  prefill, write back) — decode-priority vs prefill-priority is a host-side
+  policy knob (`prefill_priority`);
+* per-request state machine mirrors the reference's LlmStatus
+  (llm.hpp:95-103): WAITING -> PREFILL -> DECODE -> DONE/CANCELLED.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import itertools
+import queue
+import threading
+import time
+from enum import Enum
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mnn_tpu.models.config import ModelConfig, RuntimeConfig
+from mnn_tpu.models.decoder import Params, forward
+from mnn_tpu.runtime import kvcache, sampler
+from mnn_tpu.runtime.kvcache import KVCache
+from mnn_tpu.runtime.sampler import SamplerState
+
+
+class Status(Enum):
+    WAITING = "waiting"
+    PREFILL = "prefill"
+    DECODE = "decode"
+    DONE = "done"
+    CANCELLED = "cancelled"
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    token_ids: List[int]
+    max_new_tokens: int
+    status: Status = Status.WAITING
+    slot: int = -1
+    out: "queue.SimpleQueue[Optional[int]]" = dataclasses.field(
+        default_factory=queue.SimpleQueue
+    )
+    generated: List[int] = dataclasses.field(default_factory=list)
+    submitted_at: float = dataclasses.field(default_factory=time.perf_counter)
+    first_token_at: Optional[float] = None
+    finished_at: Optional[float] = None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "need_logits"), donate_argnums=(2,)
+)
+def _prefill_into_slot(
+    params: Params,
+    config: ModelConfig,
+    cache: KVCache,
+    tokens: jax.Array,   # [1, T] (right-padded to the bucket size)
+    slot: jax.Array,     # [] int32
+    valid: jax.Array,    # [] int32 real token count in this chunk
+    need_logits: bool,
+):
+    """Run one prefill chunk inside slot `slot` of the batched cache.
+
+    Returns (logits-of-last-valid-position [1, V] (zeros when not needed),
+    cache with `valid` positions appended to the slot).
+    """
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=1)
+    sub = KVCache(
+        k=sl(cache.k), v=sl(cache.v),
+        k_scale=None if cache.k_scale is None else sl(cache.k_scale),
+        v_scale=None if cache.v_scale is None else sl(cache.v_scale),
+        length=jax.lax.dynamic_slice_in_dim(cache.length, slot, 1),
+    )
+    logits, sub = forward(params, config, tokens, sub, all_logits=need_logits)
+    if need_logits:
+        logits = jax.lax.dynamic_slice_in_dim(logits, valid - 1, 1, axis=1)[:, 0]
+    else:
+        logits = jnp.zeros((1, logits.shape[-1]), logits.dtype)
+    # roll back the padded tail
+    sub = dataclasses.replace(sub, length=sub.length - (tokens.shape[1] - valid))
+    up = lambda a, s: jax.lax.dynamic_update_slice_in_dim(a, s, slot, axis=1)
+    new = KVCache(
+        k=up(cache.k, sub.k), v=up(cache.v, sub.v),
+        k_scale=None if cache.k_scale is None else up(cache.k_scale, sub.k_scale),
+        v_scale=None if cache.v_scale is None else up(cache.v_scale, sub.v_scale),
+        length=jax.lax.dynamic_update_slice(cache.length, sub.length, (slot,)),
+    )
+    return logits, new
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _reset_slot(cache: KVCache, slot: jax.Array) -> KVCache:
+    return dataclasses.replace(
+        cache,
+        length=cache.length.at[slot].set(0),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "steps", "sampler_name", "temperature",
+                     "top_k", "top_p", "min_p", "penalty"),
+    donate_argnums=(2,),
+)
+def _decode_block(
+    params: Params,
+    config: ModelConfig,
+    cache: KVCache,
+    last_tokens: jax.Array,   # [B] the newest token per slot (not yet forwarded)
+    state: SamplerState,
+    key: jax.Array,
+    *,
+    steps: int,
+    sampler_name: str,
+    temperature: float,
+    top_k: int,
+    top_p: float,
+    min_p: float,
+    penalty: float,
+):
+    """Forward+sample `steps` times for the whole batch in one dispatch.
+
+    Unlike generate.decode_steps (which samples first from given logits),
+    this forwards the provided last_tokens first — every slot always has a
+    well-defined newest token (from prefill or the previous block).
+    Returns (tokens [B, steps], cache, state, key).
+    """
+
+    def body(carry, _):
+        cache, tok, st, key = carry
+        logits, cache = forward(params, config, tok[:, None], cache)
+        key, sub = jax.random.split(key)
+        nxt, st = sampler.sample(
+            logits, sub, st, sampler=sampler_name, temperature=temperature,
+            top_k=top_k, top_p=top_p, min_p=min_p, penalty=penalty,
+        )
+        return (cache, nxt, st, key), nxt
+
+    (cache, _, state, key), toks = jax.lax.scan(
+        body, (cache, last_tokens, state, key), None, length=steps
+    )
+    return jnp.transpose(toks), cache, state, key
+
+
+class BatchEngine:
+    """Multi-request serving engine over one model instance."""
+
+    def __init__(
+        self,
+        config: ModelConfig,
+        params: Params,
+        rt: RuntimeConfig,
+        tokenizer=None,
+        eos_ids=frozenset(),
+    ):
+        self.config = config
+        self.params = params
+        self.rt = rt
+        self.tokenizer = tokenizer
+        self.eos_ids = set(eos_ids)
+        b = rt.max_batch
+        self.cache = kvcache.create(
+            config.num_layers, b, config.num_kv_heads, rt.max_seq_len,
+            config.head_dim, quantized=rt.kv_quant,
+        )
+        self.state = sampler.make_state(b)
+        self.key = jax.random.PRNGKey(rt.seed)
+        self.last_tokens = jnp.zeros((b,), jnp.int32)
+        self.slots: List[Optional[Request]] = [None] * b
+        self.waiting: "queue.SimpleQueue[Request]" = queue.SimpleQueue()
+        self.requests: Dict[int, Request] = {}
+        self._rid = itertools.count()
+        self._lock = threading.Lock()
+        self.prefill_priority = True
+        self.steps_per_block = max(rt.decode_block, 1)
+
+    # -- submission --------------------------------------------------------
+
+    def submit(self, token_ids: List[int], max_new_tokens: Optional[int] = None) -> Request:
+        req = Request(
+            rid=next(self._rid),
+            token_ids=list(token_ids) or [0],
+            max_new_tokens=max_new_tokens or self.rt.max_new_tokens,
+        )
+        with self._lock:
+            self.requests[req.rid] = req
+        self.waiting.put(req)
+        return req
+
+    def cancel(self, rid: int):
+        req = self.requests.get(rid)
+        if req and req.status not in (Status.DONE, Status.CANCELLED):
+            req.status = Status.CANCELLED
+            req.out.put(None)
+
+    # -- scheduling --------------------------------------------------------
+
+    def _free_slots(self) -> List[int]:
+        return [i for i, r in enumerate(self.slots) if r is None]
+
+    def _admit_one(self) -> bool:
+        free = self._free_slots()
+        if not free:
+            return False
+        try:
+            req = self.waiting.get_nowait()
+        except queue.Empty:
+            return False
+        if req.status == Status.CANCELLED:
+            return True
+        slot = free[0]
+        req.slot = slot
+        req.status = Status.PREFILL
+        self.slots[slot] = req
+
+        self.cache = _reset_slot(self.cache, jnp.asarray(slot, jnp.int32))
+        self.state = dataclasses.replace(
+            self.state, recent=self.state.recent.at[slot].set(-1)
+        )
+        # truncate over-long prompts to leave decode room
+        limit = self.rt.max_seq_len - req.max_new_tokens - 1
+        ids = req.token_ids[-max(limit, 1):]
+        from mnn_tpu.runtime.generate import pad_tokens, prefill_buckets
+
+        logits = None
+        buckets = prefill_buckets(len(ids), self.rt.prefill_chunk)
+        off = 0
+        for bi, bucket in enumerate(buckets):
+            valid = min(bucket, len(ids) - off)
+            chunk = jnp.asarray([ids[off : off + valid]], jnp.int32)
+            chunk = pad_tokens(chunk, bucket)
+            logits, self.cache = _prefill_into_slot(
+                self.params, self.config, self.cache, chunk,
+                jnp.asarray(slot, jnp.int32), jnp.asarray(valid, jnp.int32),
+                need_logits=(bi == len(buckets) - 1),
+            )
+            off += valid
+        # first token: greedy over the last valid position's logits
+        # (logits are for the final position of the last chunk; padded tails
+        # were rolled back but all_logits isn't needed for T=valid buckets)
+        first = int(np.asarray(jnp.argmax(logits[0])))
+        self.last_tokens = self.last_tokens.at[slot].set(first)
+        req.generated.append(first)
+        req.first_token_at = time.perf_counter()
+        req.out.put(first)
+        req.status = Status.DECODE
+        self._maybe_finish(req, first)
+        return True
+
+    def _maybe_finish(self, req: Request, tok: int):
+        if req.status in (Status.DONE, Status.CANCELLED):
+            return
+        ctx = int(self.cache.length[req.slot]) if req.slot >= 0 else 0
+        if (
+            tok in self.eos_ids
+            or len(req.generated) >= req.max_new_tokens
+            or ctx >= self.rt.max_seq_len - 1
+        ):
+            req.status = Status.DONE
+            req.finished_at = time.perf_counter()
+            req.out.put(None)
+            if req.slot >= 0:
+                self.slots[req.slot] = None
+                req.slot = -1
+
+    def step(self) -> bool:
+        """One scheduling iteration. Returns True if any work was done."""
+        admitted = False
+        while self.prefill_priority and self._admit_one():
+            admitted = True
+        active = [r for r in self.slots if r is not None]
+        if not active:
+            return admitted
+
+        steps = self.steps_per_block
+        toks, self.cache, self.state, self.key = _decode_block(
+            self.params, self.config, self.cache, self.last_tokens,
+            self.state, self.key,
+            steps=steps, sampler_name=self.rt.sampler,
+            temperature=self.rt.temperature, top_k=self.rt.top_k,
+            top_p=self.rt.top_p, min_p=self.rt.min_p, penalty=self.rt.penalty,
+        )
+        toks_np = np.asarray(toks)
+        self.last_tokens = toks[:, -1]
+        for req in list(self.slots):
+            if req is None:
+                continue
+            for j in range(steps):
+                tok = int(toks_np[req.slot, j])
+                req.generated.append(tok)
+                req.out.put(tok)
+                self._maybe_finish(req, tok)
+                if req.status != Status.DECODE:
+                    break
+        return True
+
+    def run_until_idle(self):
+        while True:
+            busy = self.step()
+            if not busy and self.waiting.empty() and not any(self.slots):
+                break
+
+    def run_forever(self, stop_event: threading.Event, idle_sleep: float = 0.002):
+        """Background scheduler loop (server mode)."""
+        while not stop_event.is_set():
+            if not self.step():
+                time.sleep(idle_sleep)
+
+    # -- blocking helper ---------------------------------------------------
+
+    def generate(self, token_ids: List[int], max_new_tokens: int) -> List[int]:
+        req = self.submit(token_ids, max_new_tokens)
+        out = []
+        while True:
+            if req.status in (Status.DONE, Status.CANCELLED) and req.out.empty():
+                break
+            self.step()
+            while not req.out.empty():
+                t = req.out.get()
+                if t is None:
+                    return out
+                out.append(t)
+        return out

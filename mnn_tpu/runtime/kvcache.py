@@ -102,6 +102,36 @@ def append_layer(
     return k_cache, v_cache, k_scale, v_scale
 
 
+def append_decode_layer(
+    k_cache: jax.Array,      # [B, Hkv, S, D] (one layer)
+    v_cache: jax.Array,
+    k_scale: Optional[jax.Array],
+    v_scale: Optional[jax.Array],
+    k_new: jax.Array,        # [B, Hkv, 1, D]
+    v_new: jax.Array,
+    lengths: jax.Array,      # [B] int32 per-slot write offsets
+):
+    """Scatter one position per sequence at its own offset (continuous
+    batching: slots decode at different context lengths). Offsets are
+    clamped to capacity so idle/finished slots can never write OOB."""
+    b = k_cache.shape[0]
+    s = k_cache.shape[2]
+    pos = jnp.clip(lengths, 0, s - 1)
+    b_idx = jnp.arange(b)
+    quantized = k_cache.dtype == jnp.int8
+    if quantized:
+        kq, ks_new = quantize_kv(k_new)
+        vq, vs_new = quantize_kv(v_new)
+        k_cache = k_cache.at[b_idx, :, pos].set(kq[:, :, 0])
+        v_cache = v_cache.at[b_idx, :, pos].set(vq[:, :, 0])
+        k_scale = k_scale.at[b_idx, :, pos].set(ks_new[:, :, 0])
+        v_scale = v_scale.at[b_idx, :, pos].set(vs_new[:, :, 0])
+    else:
+        k_cache = k_cache.at[b_idx, :, pos].set(k_new[:, :, 0].astype(k_cache.dtype))
+        v_cache = v_cache.at[b_idx, :, pos].set(v_new[:, :, 0].astype(v_cache.dtype))
+    return k_cache, v_cache, k_scale, v_scale
+
+
 def rollback(cache: KVCache, n: int | jax.Array) -> KVCache:
     """Drop the last n tokens (reference: KVMeta.remove / Llm::eraseHistory)."""
     return dataclasses.replace(

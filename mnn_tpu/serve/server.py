@@ -22,7 +22,7 @@ def _sse(obj) -> bytes:
     return f"data: {json.dumps(obj)}\n\n".encode()
 
 
-def make_handler(llm, lock: threading.Lock):
+def make_handler(llm, lock: threading.Lock, engine=None):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -97,6 +97,10 @@ def make_handler(llm, lock: threading.Lock):
             created = int(time.time())
             model_name = body.get("model") or llm.config.name
 
+            if engine is not None:
+                self._engine_completion(engine, prompt, max_tokens, stream,
+                                        rid, created, model_name, chat)
+                return
             with lock:
                 if not body.get("continue_context"):
                     llm.reset()
@@ -162,16 +166,95 @@ def make_handler(llm, lock: threading.Lock):
                     },
                 })
 
+        def _engine_completion(self, engine, prompt, max_tokens, stream,
+                               rid, created, model_name, chat):
+            ids = llm.tokenizer.encode(prompt)
+            req = engine.submit(ids, max_tokens)
+            if stream:
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def chunk(data: bytes):
+                    self.wfile.write(f"{len(data):x}\r\n".encode())
+                    self.wfile.write(data + b"\r\n")
+
+                buf = []
+                while True:
+                    tok = req.out.get()
+                    if tok is None:
+                        break
+                    buf.append(tok)
+                    text = llm.tokenizer.decode(buf)
+                    if text.endswith("\ufffd"):
+                        continue
+                    buf.clear()
+                    chunk(_sse({
+                        "id": rid, "object": "chat.completion.chunk",
+                        "created": created, "model": model_name,
+                        "choices": [{"index": 0,
+                                     "delta": {"content": text} if chat else {},
+                                     "text": None if chat else text,
+                                     "finish_reason": None}],
+                    }))
+                chunk(_sse({
+                    "id": rid, "object": "chat.completion.chunk",
+                    "created": created, "model": model_name,
+                    "choices": [{"index": 0, "delta": {},
+                                 "finish_reason": "stop"}],
+                }))
+                chunk(b"data: [DONE]\n\n")
+                chunk(b"")
+                return
+            toks = []
+            while True:
+                tok = req.out.get()
+                if tok is None:
+                    break
+                toks.append(tok)
+            text = llm.tokenizer.decode(toks)
+            msg = {"role": "assistant", "content": text}
+            self._json(200, {
+                "id": rid, "object": "chat.completion" if chat else
+                "text_completion", "created": created, "model": model_name,
+                "choices": [{"index": 0,
+                             "message" if chat else "text": msg if chat else text,
+                             "finish_reason": "stop"}],
+                "usage": {"prompt_tokens": len(ids),
+                          "completion_tokens": len(toks),
+                          "total_tokens": len(ids) + len(toks)},
+            })
+
     return Handler
 
 
-def serve(llm, host: str = "127.0.0.1", port: int = 9090):
+def serve(llm, host: str = "127.0.0.1", port: int = 9090, batch: int = 1):
+    """batch > 1 enables the continuous-batching engine (multi-request)."""
     lock = threading.Lock()
-    httpd = ThreadingHTTPServer((host, port), make_handler(llm, lock))
-    print(f"[mnn-tpu] serving OpenAI-compatible API on http://{host}:{port}")
+    engine = None
+    stop = threading.Event()
+    if batch > 1:
+        import dataclasses as _dc
+
+        from mnn_tpu.runtime.batch_engine import BatchEngine
+
+        rt = _dc.replace(llm.rt, max_batch=batch)
+        engine = BatchEngine(
+            llm.config, llm.params, rt, tokenizer=llm.tokenizer,
+            eos_ids=getattr(llm.tokenizer, "eos_ids", set()),
+        )
+        threading.Thread(
+            target=engine.run_forever, args=(stop,), daemon=True
+        ).start()
+    httpd = ThreadingHTTPServer((host, port), make_handler(llm, lock, engine))
+    mode = f"continuous batching x{batch}" if engine else "single-stream"
+    print(f"[mnn-tpu] serving OpenAI-compatible API on http://{host}:{port} ({mode})")
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
+        stop.set()
         httpd.server_close()
