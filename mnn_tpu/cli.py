@@ -141,6 +141,39 @@ def cmd_convert(args):
           f"(int{args.bits}, block {args.block}, {time.time()-t0:.1f}s)")
 
 
+def cmd_bench_cnn(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mnn_tpu.convert.torch_fx import convert_torch_module
+    from mnn_tpu.models.vision import VISION_MODELS
+    from mnn_tpu.utils.benchit import chain
+    from mnn_tpu.utils.compile_cache import enable as enable_cache
+
+    enable_cache()
+    names = args.models.split(",") if args.models else list(VISION_MODELS)
+    for name in names:
+        import torch
+
+        torch.manual_seed(0)
+        mod = VISION_MODELS[name]().eval()
+        fn, params = convert_torch_module(mod)
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            params,
+        )
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal(
+                (args.batch, 3, args.size, args.size)), jnp.bfloat16)
+        t = chain(lambda xx: fn(params, xx), x, iters=20, warmup=2)
+        print(json.dumps({
+            "model": name, "batch": args.batch,
+            "latency_ms": round(t * 1e3, 3),
+            "images_per_s": round(args.batch / t, 1),
+        }))
+
+
 def cmd_eval(args):
     llm = _build_llm(args)
     if args.file:
@@ -190,6 +223,12 @@ def main(argv=None):
     p.add_argument("--tp", type=int, default=1,
                    help="target tensor-parallel shards (affects block sizes)")
     p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("bench-cnn", help="vision model latency (bf16)")
+    p.add_argument("--models", help="comma list (default: all)")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--size", type=int, default=224)
+    p.set_defaults(fn=cmd_bench_cnn)
 
     p = sub.add_parser("eval", help="perplexity over a text file")
     _add_model_args(p)
