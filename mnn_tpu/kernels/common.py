@@ -24,9 +24,13 @@ def interpret_mode() -> bool:
 def use_pallas(interpret) -> bool:
     """Kernel dispatch policy (≈ the reference's backend selection,
     Schedule::getAppropriateType): Pallas on TPU, Pallas-interpreter when
-    explicitly requested (kernel unit tests), otherwise the pure-XLA
-    reference path — the 'CPU backend is the reference implementation'
+    explicitly requested (kernel unit tests), pure-XLA reference path
+    otherwise or when explicitly forced with interpret=False (training needs
+    the fully differentiable path; flash-attention backward kernels are
+    future work) — the 'CPU backend is the reference implementation'
     pattern from /root/reference/test (SURVEY.md §4)."""
+    if interpret is False:
+        return False
     return on_tpu() or interpret is True
 
 

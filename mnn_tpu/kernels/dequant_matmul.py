@@ -105,13 +105,57 @@ def dequant_matmul(
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """y = x @ dequant(ql) (+ out_bias).  x: [..., K] bf16/f32."""
+    """y = x @ dequant(ql) (+ out_bias).  x: [..., K] bf16/f32.
+
+    Differentiable w.r.t. x (custom VJP: dx = g @ dequant(W)^T via XLA —
+    the quantized weights themselves are frozen, LoRA trains adapters).
+    """
     if not use_pallas(interpret):
         from mnn_tpu.quant.quantize import matmul_dequant_ref
 
         return matmul_dequant_ref(x, ql, dtype=out_dtype)
     if interpret is None:
         interpret = interpret_mode()
+
+    x_dtype = x.dtype
+
+    def _impl(x, ql):
+        return _dequant_matmul_pallas(
+            x, ql, out_dtype=out_dtype, block_m=block_m, block_n=block_n,
+            block_k=block_k, interpret=interpret,
+        )
+
+    @jax.custom_vjp
+    def _call(x, ql):
+        return _impl(x, ql)
+
+    def _fwd(x, ql):
+        return _impl(x, ql), ql
+
+    def _bwd(ql_res, g):
+        from mnn_tpu.quant.quantize import dequantize
+
+        w = dequantize(ql_res, dtype=jnp.bfloat16)
+        dx = jnp.dot(
+            g.astype(jnp.bfloat16), w.T, preferred_element_type=jnp.float32
+        )
+        import numpy as _onp
+
+        def _zero_ct(a):
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                return jnp.zeros_like(a)
+            return _onp.zeros(a.shape, dtype=jax.dtypes.float0)
+
+        ct_ql = jax.tree_util.tree_map(_zero_ct, ql_res)
+        return (dx.astype(x_dtype), ct_ql)
+
+    _call.defvjp(_fwd, _bwd)
+    return _call(x, ql)
+
+
+def _dequant_matmul_pallas(
+    x, ql, *, out_dtype, block_m, block_n, block_k, interpret
+):
     k, n = ql.shape
     bs = ql.block_size
     lead = x.shape[:-1]

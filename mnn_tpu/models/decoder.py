@@ -67,6 +67,35 @@ class Params:
     layers: LayerParams
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LoraParams:
+    """Low-rank adapters per projection, stacked on the layer axis.
+
+    ≈ the reference's LoRA finetune support (transformers/llm/finetune/):
+    y = frozen_quantized(x) + (x @ a) @ b * (alpha / rank). Entries may be
+    None to adapt a subset of projections.
+    """
+
+    a_qkv: Optional[jax.Array]   # [L, hidden, r]
+    b_qkv: Optional[jax.Array]   # [L, r, qkv_n]
+    a_o: Optional[jax.Array]
+    b_o: Optional[jax.Array]
+    a_gu: Optional[jax.Array]
+    b_gu: Optional[jax.Array]
+    a_down: Optional[jax.Array]
+    b_down: Optional[jax.Array]
+    scaling: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+
+
+def _add_lora(y, h, a, b, scaling):
+    if a is None:
+        return y
+    xa = jnp.einsum("btk,kr->btr", h.astype(jnp.float32), a)
+    delta = jnp.einsum("btr,rn->btn", xa, b) * scaling
+    return y + delta.astype(y.dtype)
+
+
 def init_random_params(
     config: ModelConfig,
     rng: jax.Array,
@@ -184,6 +213,7 @@ def forward(
     all_logits: bool = False,
     interpret: Optional[bool] = None,
     tp_axis: Optional[str] = None,
+    lora: Optional["LoraParams"] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """Run the model over `tokens`, appending T positions to the cache.
 
@@ -208,9 +238,15 @@ def forward(
     q_dim, kv_dim = c.q_dim, c.kv_dim
 
     def layer_step(x, layer):
-        lp, k_c, v_c, ks_c, vs_c = layer
+        if lora is not None:
+            lp, k_c, v_c, ks_c, vs_c, lo = layer
+        else:
+            lp, k_c, v_c, ks_c, vs_c = layer
+            lo = None
         h = rms_norm(x, lp.input_norm, c.rms_norm_eps)
         qkv = dequant_matmul(h, lp.wqkv, interpret=interpret)
+        if lo is not None:
+            qkv = _add_lora(qkv, h, lo.a_qkv, lo.b_qkv, lo.scaling)
         g = c.num_heads // c.num_kv_heads
         qkv = qkv.reshape(b, t, c.num_kv_heads, g + 2, c.head_dim)
         q = qkv[..., :g, :].reshape(b, t, c.num_heads, c.head_dim)
@@ -238,18 +274,24 @@ def forward(
             att, lp.wo, interpret=interpret,
             out_dtype=jnp.float32 if tp_axis else jnp.bfloat16,
         )
+        if lo is not None:
+            o = _add_lora(o, att, lo.a_o, lo.b_o, lo.scaling)
         if tp_axis:
             o = jax.lax.psum(o, tp_axis)
         x = x + o.astype(x.dtype)
 
         h2 = rms_norm(x, lp.post_norm, c.rms_norm_eps)
         gu = dequant_matmul(h2, lp.wgu, interpret=interpret)
+        if lo is not None:
+            gu = _add_lora(gu, h2, lo.a_gu, lo.b_gu, lo.scaling)
         gu = gu.reshape(b, t, gu.shape[-1] // 2, 2)
         act = swiglu(gu[..., 0], gu[..., 1])
         d = dequant_matmul(
             act, lp.wdown, interpret=interpret,
             out_dtype=jnp.float32 if tp_axis else jnp.bfloat16,
         )
+        if lo is not None:
+            d = _add_lora(d, act, lo.a_down, lo.b_down, lo.scaling)
         if tp_axis:
             d = jax.lax.psum(d, tp_axis)
         x = x + d.astype(x.dtype)
@@ -259,10 +301,10 @@ def forward(
         x, updated = layer_step(x, layer)
         return x, updated
 
-    xs = (cache.k, cache.v, cache.k_scale, cache.v_scale)
-    x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
-        scan_body, x, (params.layers,) + xs
-    )
+    xs = (params.layers, cache.k, cache.v, cache.k_scale, cache.v_scale)
+    if lora is not None:
+        xs = xs + (lora,)
+    x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(scan_body, x, xs)
 
     x = rms_norm(x, params.final_norm, c.rms_norm_eps)
     if not all_logits:
