@@ -100,18 +100,33 @@ def load_checkpoint(model_dir: str):
     rt_path = os.path.join(model_dir, "runtime.json")
     rt = RuntimeConfig.from_json(rt_path) if os.path.exists(rt_path) else RuntimeConfig()
 
+    path = os.path.join(model_dir, "model.safetensors")
     tensors = {}
-    with safe_open(
-        os.path.join(model_dir, "model.safetensors"), framework="numpy"
-    ) as f:
-        sf_meta = f.metadata() or {}
-        quant_meta = json.loads(sf_meta.get("quant", "{}"))
-        casts = json.loads(sf_meta.get("casts", "{}"))
-        for k in f.keys():
-            v = f.get_tensor(k)
-            if casts.get(k) == "bfloat16":
-                v = jnp.asarray(v.view(np.uint16)).view(jnp.bfloat16)
-            tensors[k] = jnp.asarray(v)
+
+    from mnn_tpu.utils import native
+
+    if native.available():
+        # zero-copy mmap reader (C++): header parse only; jax pulls bytes
+        # straight from the page cache while uploading to device
+        with native.StFile(path) as f:
+            sf_meta = f.metadata()
+            quant_meta = json.loads(sf_meta.get("quant", "{}"))
+            casts = json.loads(sf_meta.get("casts", "{}"))
+            for k in f.names:
+                v = f.tensor(k)
+                if casts.get(k) == "bfloat16":
+                    v = jnp.asarray(v.view(np.uint16)).view(jnp.bfloat16)
+                tensors[k] = jnp.asarray(v)
+    else:
+        with safe_open(path, framework="numpy") as f:
+            sf_meta = f.metadata() or {}
+            quant_meta = json.loads(sf_meta.get("quant", "{}"))
+            casts = json.loads(sf_meta.get("casts", "{}"))
+            for k in f.keys():
+                v = f.get_tensor(k)
+                if casts.get(k) == "bfloat16":
+                    v = jnp.asarray(v.view(np.uint16)).view(jnp.bfloat16)
+                tensors[k] = jnp.asarray(v)
 
     def get_ql(prefix):
         m = quant_meta[prefix]

@@ -89,8 +89,12 @@ def lookahead_generate(
     llm: mnn_tpu.runtime.llm.Llm (uses its params/config/cache).
     """
     from mnn_tpu.runtime import generate as gen
+    from mnn_tpu.utils import native
 
-    draft_tab = NgramDraft(ngram=ngram, draft_len=draft_len)
+    if native.available():
+        draft_tab = native.NativeNgramIndex(max_n=4, draft_len=draft_len)
+    else:
+        draft_tab = NgramDraft(ngram=ngram, draft_len=draft_len)
     draft_tab.extend(token_ids)
 
     logits, cache = gen.run_prefill(
