@@ -106,14 +106,15 @@ def load_checkpoint(model_dir: str):
     from mnn_tpu.utils import native
 
     if native.available():
-        # zero-copy mmap reader (C++): header parse only; jax pulls bytes
-        # straight from the page cache while uploading to device
+        # mmap reader (C++): header parse in native code, tensor() views the
+        # page cache. Device uploads are async, so copy each view once
+        # (host memcpy) before the file is unmapped.
         with native.StFile(path) as f:
             sf_meta = f.metadata()
             quant_meta = json.loads(sf_meta.get("quant", "{}"))
             casts = json.loads(sf_meta.get("casts", "{}"))
             for k in f.names:
-                v = f.tensor(k)
+                v = np.array(f.tensor(k))  # own the bytes before munmap
                 if casts.get(k) == "bfloat16":
                     v = jnp.asarray(v.view(np.uint16)).view(jnp.bfloat16)
                 tensors[k] = jnp.asarray(v)
