@@ -140,15 +140,24 @@ def load_checkpoint(model_dir: str):
             block_size=m["block_size"],
         )
 
+    def opt_ql(prefix):
+        return get_ql(prefix) if prefix in quant_meta else None
+
     layers = LayerParams(
         wqkv=get_ql("layers.wqkv"),
         wo=get_ql("layers.wo"),
-        wgu=get_ql("layers.wgu"),
-        wdown=get_ql("layers.wdown"),
+        wgu=opt_ql("layers.wgu"),
+        wdown=opt_ql("layers.wdown"),
         input_norm=tensors["layers.input_norm"],
         post_norm=tensors["layers.post_norm"],
         q_norm=tensors.get("layers.q_norm"),
         k_norm=tensors.get("layers.k_norm"),
+        router=tensors.get("layers.router"),
+        wgu_e=opt_ql("layers.wgu_e"),
+        wdown_e=opt_ql("layers.wdown_e"),
+        wgu_shared=opt_ql("layers.wgu_shared"),
+        wdown_shared=opt_ql("layers.wdown_shared"),
+        shared_gate=tensors.get("layers.shared_gate"),
     )
     params = Params(
         embedding=tensors["embedding"],

@@ -92,6 +92,8 @@ def convert_hf(
     wqkv_mats, wqkv_biases = [], []
     wo_mats, wgu_mats, wdown_mats = [], [], []
     in_norms, post_norms, q_norms, k_norms = [], [], [], []
+    routers, wgu_expert_mats, wdown_expert_mats = [], [], []
+    wgu_shared_mats, wdown_shared_mats, shared_gates = [], [], []
     for i in range(c.num_layers):
         p = f"model.layers.{i}."
         wq = get(p + "self_attn.q_proj.weight").T  # [H, q_dim]
@@ -121,10 +123,29 @@ def convert_hf(
             wqkv_biases.append(None)
 
         wo_mats.append(get(p + "self_attn.o_proj.weight").T)  # [q_dim, H]
-        wg = get(p + "mlp.gate_proj.weight").T  # [H, inter]
-        wu = get(p + "mlp.up_proj.weight").T
-        wgu_mats.append(np.stack([wg, wu], axis=-1).reshape(hidden, -1))
-        wdown_mats.append(get(p + "mlp.down_proj.weight").T)  # [inter, H]
+        if c.is_moe:
+            routers.append(get(p + "mlp.gate.weight").T)  # [H, E]
+            for e in range(c.num_experts):
+                ep = p + f"mlp.experts.{e}."
+                wg = get(ep + "gate_proj.weight").T
+                wu = get(ep + "up_proj.weight").T
+                wgu_expert_mats.append(
+                    np.stack([wg, wu], axis=-1).reshape(hidden, -1))
+                wdown_expert_mats.append(get(ep + "down_proj.weight").T)
+            if c.shared_expert_intermediate_size:
+                sp = p + "mlp.shared_expert."
+                wg = get(sp + "gate_proj.weight").T
+                wu = get(sp + "up_proj.weight").T
+                wgu_shared_mats.append(
+                    np.stack([wg, wu], axis=-1).reshape(hidden, -1))
+                wdown_shared_mats.append(get(sp + "down_proj.weight").T)
+                shared_gates.append(
+                    get(p + "mlp.shared_expert_gate.weight")[0])  # [H]
+        else:
+            wg = get(p + "mlp.gate_proj.weight").T  # [H, inter]
+            wu = get(p + "mlp.up_proj.weight").T
+            wgu_mats.append(np.stack([wg, wu], axis=-1).reshape(hidden, -1))
+            wdown_mats.append(get(p + "mlp.down_proj.weight").T)  # [inter, H]
 
         in_norms.append(get(p + "input_layernorm.weight"))
         post_norms.append(get(p + "post_attention_layernorm.weight"))
@@ -135,17 +156,44 @@ def convert_hf(
     bs_qkv = choose_block_size(c.hidden_size, block_size)
     bs_wo = choose_block_size(c.q_dim, block_size, tp_shards)
     bs_gu = choose_block_size(c.hidden_size, block_size)
-    bs_down = choose_block_size(c.intermediate_size, block_size, tp_shards)
+
+    moe_fields = {}
+    if c.is_moe:
+        bs_edown = choose_block_size(c.moe_intermediate_size, block_size)
+        stacked_gu = quantize_stacked(wgu_expert_mats, [None], bs_gu)
+        stacked_down = quantize_stacked(wdown_expert_mats, [None], bs_edown)
+        reshape_e = lambda q: jax.tree_util.tree_map(
+            lambda a: a.reshape(c.num_layers, c.num_experts, *a.shape[1:]), q)
+        moe_fields = dict(
+            router=jnp.asarray(np.stack(routers), jnp.float32),
+            wgu_e=reshape_e(stacked_gu),
+            wdown_e=reshape_e(stacked_down),
+        )
+        if c.shared_expert_intermediate_size:
+            bs_sdown = choose_block_size(
+                c.shared_expert_intermediate_size, block_size)
+            moe_fields.update(
+                wgu_shared=quantize_stacked(wgu_shared_mats, [None], bs_gu),
+                wdown_shared=quantize_stacked(
+                    wdown_shared_mats, [None], bs_sdown),
+                shared_gate=jnp.asarray(np.stack(shared_gates), jnp.float32),
+            )
+        wgu_q = wdown_q = None
+    else:
+        bs_down = choose_block_size(c.intermediate_size, block_size, tp_shards)
+        wgu_q = quantize_stacked(wgu_mats, [None], bs_gu)
+        wdown_q = quantize_stacked(wdown_mats, [None], bs_down)
 
     layers = LayerParams(
         wqkv=quantize_stacked(wqkv_mats, wqkv_biases, bs_qkv),
         wo=quantize_stacked(wo_mats, [None], bs_wo),
-        wgu=quantize_stacked(wgu_mats, [None], bs_gu),
-        wdown=quantize_stacked(wdown_mats, [None], bs_down),
+        wgu=wgu_q,
+        wdown=wdown_q,
         input_norm=jnp.asarray(np.stack(in_norms), jnp.float32),
         post_norm=jnp.asarray(np.stack(post_norms), jnp.float32),
         q_norm=jnp.asarray(np.stack(q_norms), jnp.float32) if c.qk_norm else None,
         k_norm=jnp.asarray(np.stack(k_norms), jnp.float32) if c.qk_norm else None,
+        **moe_fields,
     )
 
     emb = jnp.asarray(get("model.embed_tokens.weight"), jnp.bfloat16)

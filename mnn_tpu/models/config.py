@@ -33,6 +33,16 @@ class ModelConfig:
     attention_bias: bool = True   # qwen2 uses qkv bias
     qk_norm: bool = False         # qwen3 per-head RMSNorm on q/k
     max_position_embeddings: int = 32768
+    # MoE (0 experts = dense). Mirrors qwen2/3-moe HF config fields.
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    moe_intermediate_size: int = 0
+    shared_expert_intermediate_size: int = 0  # qwen2-moe shared expert
+    norm_topk_prob: bool = True
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_experts > 0
 
     @property
     def q_dim(self) -> int:
@@ -62,6 +72,12 @@ class ModelConfig:
             attention_bias=d.get("attention_bias", "qwen2" in arch),
             qk_norm="qwen3" in arch,
             max_position_embeddings=d.get("max_position_embeddings", 32768),
+            num_experts=d.get("num_experts", 0),
+            num_experts_per_tok=d.get("num_experts_per_tok", 2),
+            moe_intermediate_size=d.get("moe_intermediate_size", 0),
+            shared_expert_intermediate_size=d.get(
+                "shared_expert_intermediate_size", 0),
+            norm_topk_prob=d.get("norm_topk_prob", True),
         )
 
 

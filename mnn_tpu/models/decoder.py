@@ -49,13 +49,22 @@ class LayerParams:
 
     wqkv: QuantizedLinear      # [hidden, Hkv * (G+2) * D]
     wo: QuantizedLinear        # [H*D, hidden]
-    wgu: QuantizedLinear       # [hidden, intermediate*2], col 2i = gate_i,
-                               # col 2i+1 = up_i (pairs survive N-sharding)
-    wdown: QuantizedLinear     # [intermediate, hidden]
+    wgu: Optional[QuantizedLinear]   # [hidden, intermediate*2], col 2i =
+                               # gate_i, col 2i+1 = up_i (pairs survive
+                               # N-sharding); None for pure-MoE layers
+    wdown: Optional[QuantizedLinear]  # [intermediate, hidden]
     input_norm: jax.Array      # [L, hidden]
     post_norm: jax.Array       # [L, hidden]
     q_norm: Optional[jax.Array]  # [L, head_dim] (qwen3)
     k_norm: Optional[jax.Array]
+    # MoE (reference: MoEModule express/module/MoEModule.cpp re-designed as
+    # an expert-stacked einsum; SURVEY.md §2.7/§2.11 expert parallel)
+    router: Optional[jax.Array] = None        # [L, hidden, E] f32
+    wgu_e: Optional[QuantizedLinear] = None   # [L, E, hidden, 2*moe_inter]
+    wdown_e: Optional[QuantizedLinear] = None  # [L, E, moe_inter, hidden]
+    wgu_shared: Optional[QuantizedLinear] = None   # qwen2-moe shared expert
+    wdown_shared: Optional[QuantizedLinear] = None
+    shared_gate: Optional[jax.Array] = None   # [L, hidden] sigmoid gate
 
 
 @jax.tree_util.register_dataclass
@@ -86,6 +95,75 @@ class LoraParams:
     a_down: Optional[jax.Array]
     b_down: Optional[jax.Array]
     scaling: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+
+
+def _moe_mlp(c: ModelConfig, h2: jax.Array, lp: LayerParams,
+             tp_axis, interpret):
+    """Top-k routed expert MLP, experts stacked and scanned.
+
+    Dense-dispatch formulation: every (local) expert processes all tokens,
+    masked by the router weight — compute is E/k-fold redundant but every
+    shape is static and under expert-parallelism each shard only touches
+    its local experts, combining partial sums with one psum (no all_to_all).
+    The reference routes tokens to lazily-loaded expert submodules serially
+    (MoEModule.cpp:49-90); on TPU static shapes + a reduce win.
+    """
+    b, t, hidden = h2.shape
+    n = b * t
+    x = h2.reshape(n, hidden)
+    logits = jnp.dot(x.astype(jnp.float32), lp.router,
+                     preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    vals, idx = jax.lax.top_k(probs, c.num_experts_per_tok)
+    if c.norm_topk_prob:
+        vals = vals / jnp.maximum(vals.sum(-1, keepdims=True), 1e-9)
+    weights = jnp.zeros((n, c.num_experts), jnp.float32).at[
+        jnp.arange(n)[:, None], idx
+    ].set(vals)
+
+    e_local = lp.wgu_e.packed.shape[0]
+    if tp_axis is not None and e_local != c.num_experts:
+        e0 = jax.lax.axis_index(tp_axis) * e_local
+        w_local = jax.lax.dynamic_slice(weights, (0, e0), (n, e_local))
+    else:
+        w_local = weights[:, :e_local]
+
+    def expert_body(acc, ex):
+        gu_q, down_q, wcol = ex
+        gu = dequant_matmul(x, gu_q, interpret=interpret)
+        gu = gu.reshape(n, -1, 2)
+        act = swiglu(gu[..., 0], gu[..., 1])
+        out = dequant_matmul(act, down_q, interpret=interpret,
+                             out_dtype=jnp.float32)
+        return acc + out * wcol[:, None], None
+
+    # derive from x so the carry inherits shard_map's varying-axes type;
+    # expert weights are tp-sharded so the partial sums additionally vary
+    # over the tp axis
+    acc0 = jnp.zeros_like(x, dtype=jnp.float32)
+    if tp_axis is not None:
+        if hasattr(jax.lax, "pvary"):
+            acc0 = jax.lax.pvary(acc0, (tp_axis,))
+        else:
+            acc0 = jax.lax.pcast(acc0, (tp_axis,), to="varying")
+    y, _ = jax.lax.scan(expert_body, acc0,
+                        (lp.wgu_e, lp.wdown_e, jnp.transpose(w_local)))
+    if tp_axis is not None:
+        y = jax.lax.psum(y, tp_axis)
+
+    if lp.wgu_shared is not None:
+        gu = dequant_matmul(x, lp.wgu_shared, interpret=interpret)
+        gu = gu.reshape(n, -1, 2)
+        act = swiglu(gu[..., 0], gu[..., 1])
+        out = dequant_matmul(act, lp.wdown_shared, interpret=interpret,
+                             out_dtype=jnp.float32)
+        if lp.shared_gate is not None:
+            gate = jax.nn.sigmoid(
+                jnp.dot(x.astype(jnp.float32), lp.shared_gate)[:, None]
+            )
+            out = out * gate
+        y = y + out
+    return y.reshape(b, t, hidden)
 
 
 def _add_lora(y, h, a, b, scaling):
@@ -149,16 +227,66 @@ def init_random_params(
             )
         return stacked
 
+    def ql_experts(key, k_dim, n_dim):
+        """Stacked [L, E, ...] expert weights (leading axes folded for quantize)."""
+        bs = choose_block_size(k_dim, quant_block)
+        le = c.num_layers * c.num_experts
+        if fast:
+            pack = 2 if quant_bits == 4 else 1
+            packed = jax.random.randint(
+                key, (le, k_dim // pack, n_dim), -128, 128, jnp.int32
+            ).astype(jnp.int8)
+            qmax = (1 << quant_bits) - 1
+            s = jnp.full((le, k_dim // bs, n_dim), 2 * scale / qmax, jnp.float32)
+            stacked = QuantizedLinear(
+                packed=packed, scale=s, bias=-s * (qmax / 2), out_bias=None,
+                bits=quant_bits, block_size=bs,
+            )
+        else:
+            w = jax.random.normal(key, (le, k_dim, n_dim), jnp.float32) * scale
+            stacked = jax.vmap(
+                lambda wi: quantize(wi, bits=quant_bits, block_size=bs, sym=sym)
+            )(w)
+        return jax.tree_util.tree_map(
+            lambda a: a.reshape(c.num_layers, c.num_experts, *a.shape[1:]),
+            stacked,
+        )
+
     qkv_n = (c.num_heads + 2 * c.num_kv_heads) * c.head_dim
+    moe_fields = {}
+    if c.is_moe:
+        mi = c.moe_intermediate_size
+        moe_fields = dict(
+            router=jax.random.normal(
+                keys[6], (c.num_layers, c.hidden_size, c.num_experts),
+                jnp.float32) * scale,
+            wgu_e=ql_experts(keys[7], c.hidden_size, 2 * mi),
+            wdown_e=ql_experts(
+                jax.random.fold_in(keys[7], 1), mi, c.hidden_size),
+        )
+        si = c.shared_expert_intermediate_size
+        if si:
+            moe_fields.update(
+                wgu_shared=ql(jax.random.fold_in(keys[7], 2),
+                              c.hidden_size, 2 * si, False),
+                wdown_shared=ql(jax.random.fold_in(keys[7], 3),
+                                si, c.hidden_size, False),
+                shared_gate=jnp.zeros(
+                    (c.num_layers, c.hidden_size), jnp.float32),
+            )
+    dense = not c.is_moe
     layers = LayerParams(
         wqkv=ql(keys[0], c.hidden_size, qkv_n, c.attention_bias),
         wo=ql(keys[1], c.q_dim, c.hidden_size, False, tp_shards),
-        wgu=ql(keys[2], c.hidden_size, 2 * c.intermediate_size, False),
-        wdown=ql(keys[3], c.intermediate_size, c.hidden_size, False, tp_shards),
+        wgu=ql(keys[2], c.hidden_size, 2 * c.intermediate_size, False)
+        if dense else None,
+        wdown=ql(keys[3], c.intermediate_size, c.hidden_size, False, tp_shards)
+        if dense else None,
         input_norm=jnp.ones((c.num_layers, c.hidden_size), jnp.float32),
         post_norm=jnp.ones((c.num_layers, c.hidden_size), jnp.float32),
         q_norm=jnp.ones((c.num_layers, c.head_dim), jnp.float32) if c.qk_norm else None,
         k_norm=jnp.ones((c.num_layers, c.head_dim), jnp.float32) if c.qk_norm else None,
+        **moe_fields,
     )
     emb = jax.random.normal(keys[4], (c.vocab_size, c.hidden_size), jnp.bfloat16) * scale
     lm_head = (
@@ -281,19 +409,22 @@ def forward(
         x = x + o.astype(x.dtype)
 
         h2 = rms_norm(x, lp.post_norm, c.rms_norm_eps)
-        gu = dequant_matmul(h2, lp.wgu, interpret=interpret)
-        if lo is not None:
-            gu = _add_lora(gu, h2, lo.a_gu, lo.b_gu, lo.scaling)
-        gu = gu.reshape(b, t, gu.shape[-1] // 2, 2)
-        act = swiglu(gu[..., 0], gu[..., 1])
-        d = dequant_matmul(
-            act, lp.wdown, interpret=interpret,
-            out_dtype=jnp.float32 if tp_axis else jnp.bfloat16,
-        )
-        if lo is not None:
-            d = _add_lora(d, act, lo.a_down, lo.b_down, lo.scaling)
-        if tp_axis:
-            d = jax.lax.psum(d, tp_axis)
+        if c.is_moe and lp.router is not None:
+            d = _moe_mlp(c, h2, lp, tp_axis, interpret)
+        else:
+            gu = dequant_matmul(h2, lp.wgu, interpret=interpret)
+            if lo is not None:
+                gu = _add_lora(gu, h2, lo.a_gu, lo.b_gu, lo.scaling)
+            gu = gu.reshape(b, t, gu.shape[-1] // 2, 2)
+            act = swiglu(gu[..., 0], gu[..., 1])
+            d = dequant_matmul(
+                act, lp.wdown, interpret=interpret,
+                out_dtype=jnp.float32 if tp_axis else jnp.bfloat16,
+            )
+            if lo is not None:
+                d = _add_lora(d, act, lo.a_down, lo.b_down, lo.scaling)
+            if tp_axis:
+                d = jax.lax.psum(d, tp_axis)
         x = x + d.astype(x.dtype)
         return x, (k_c, v_c, ks_c, vs_c)
 

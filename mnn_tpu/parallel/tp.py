@@ -67,15 +67,41 @@ def _ql_spec(ql: QuantizedLinear, out_sharded: bool) -> QuantizedLinear:
 def param_specs(config: ModelConfig, params: Params) -> Params:
     """PartitionSpec pytree structurally identical to `params`."""
     lp = params.layers
+
+    def _expert_spec(ql):
+        """Shard the expert axis (axis 1 of [L, E, ...])."""
+        if ql is None:
+            return None
+        return dataclasses.replace(
+            ql, packed=P(None, "tp", None, None),
+            scale=P(None, "tp", None, None), bias=P(None, "tp", None, None),
+            out_bias=None,
+        )
+
+    def _replicated_ql(ql):
+        if ql is None:
+            return None
+        return dataclasses.replace(
+            ql, packed=P(None, None, None), scale=P(None, None, None),
+            bias=P(None, None, None),
+            out_bias=None if ql.out_bias is None else P(None, None),
+        )
+
     layer = LayerParams(
         wqkv=_ql_spec(lp.wqkv, True),
         wo=_ql_spec(lp.wo, False),
-        wgu=_ql_spec(lp.wgu, True),
-        wdown=_ql_spec(lp.wdown, False),
+        wgu=None if lp.wgu is None else _ql_spec(lp.wgu, True),
+        wdown=None if lp.wdown is None else _ql_spec(lp.wdown, False),
         input_norm=P(None, None),
         post_norm=P(None, None),
         q_norm=P(None, None) if config.qk_norm else None,
         k_norm=P(None, None) if config.qk_norm else None,
+        router=None if lp.router is None else P(None, None, None),
+        wgu_e=_expert_spec(lp.wgu_e),
+        wdown_e=_expert_spec(lp.wdown_e),
+        wgu_shared=_replicated_ql(lp.wgu_shared),
+        wdown_shared=_replicated_ql(lp.wdown_shared),
+        shared_gate=None if lp.shared_gate is None else P(None, None),
     )
     return Params(
         embedding=P(None, None),  # replicated (gather source)
@@ -101,6 +127,8 @@ def local_config(config: ModelConfig, tp: int) -> ModelConfig:
         )
     if config.intermediate_size % tp:
         raise ValueError(f"tp={tp} must divide intermediate {config.intermediate_size}")
+    if config.is_moe and config.num_experts % tp:
+        raise ValueError(f"tp={tp} must divide num_experts {config.num_experts}")
     vocab = config.vocab_size
     if not config.tie_word_embeddings:
         if vocab % tp:
