@@ -1,0 +1,60 @@
+"""Prefix-cache persistence: save/restore KV state for prompt reuse.
+
+Equivalent of the reference's prefix-cache files + prompt-cache sync
+(/root/reference/transformers/llm/engine: Llm::setPrefixCacheFile,
+prompt_cache_utils.hpp; KV disk spill KVCacheManager.hpp:35-56): the valid
+prefix of the device KV cache (+ the token ids that produced it) is saved
+to one .npz; on load the cache is restored and generation continues from
+the cached context, skipping prefill of the shared prompt prefix.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from mnn_tpu.runtime.kvcache import KVCache
+
+
+def save_prefix(path: str, cache: KVCache, token_ids: List[int],
+                slot: int = 0) -> int:
+    """Persist slot `slot`'s valid prefix. Returns saved token count."""
+    n = int(cache.length[slot])
+    data = {
+        "tokens": np.asarray(token_ids[:n], np.int32),
+        "k": np.asarray(cache.k[:, slot, :, :n]),
+        "v": np.asarray(cache.v[:, slot, :, :n]),
+        "quantized": np.asarray(cache.quantized),
+    }
+    if cache.quantized:
+        data["k_scale"] = np.asarray(cache.k_scale[:, slot, :, :n])
+        data["v_scale"] = np.asarray(cache.v_scale[:, slot, :, :n])
+    np.savez(path, **data)
+    return n
+
+
+def load_prefix(path: str, cache: KVCache, slot: int = 0
+                ) -> Tuple[KVCache, List[int]]:
+    """Restore a saved prefix into slot `slot`. Returns (cache, token_ids).
+
+    The target cache must have matching layer/head/dim shapes and capacity
+    >= the saved length, and matching quantization mode.
+    """
+    z = np.load(path)
+    n = int(z["tokens"].shape[0])
+    if n > cache.capacity:
+        raise ValueError(f"prefix length {n} exceeds capacity {cache.capacity}")
+    if bool(z["quantized"]) != cache.quantized:
+        raise ValueError("prefix cache quantization mode mismatch")
+    k = cache.k.at[:, slot, :, :n].set(jnp.asarray(z["k"]))
+    v = cache.v.at[:, slot, :, :n].set(jnp.asarray(z["v"]))
+    ks, vs = cache.k_scale, cache.v_scale
+    if cache.quantized:
+        ks = ks.at[:, slot, :, :n].set(jnp.asarray(z["k_scale"]))
+        vs = vs.at[:, slot, :, :n].set(jnp.asarray(z["v_scale"]))
+    length = cache.length.at[slot].set(n)
+    new = KVCache(k=k, v=v, k_scale=ks, v_scale=vs, length=length)
+    return new, [int(t) for t in z["tokens"]]
