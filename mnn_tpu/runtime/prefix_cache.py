@@ -19,14 +19,24 @@ import numpy as np
 from mnn_tpu.runtime.kvcache import KVCache
 
 
+def _to_np(a):
+    """np view safe for savez (numpy can't serialize bf16)."""
+    a = np.asarray(a)
+    if a.dtype == np.asarray(jnp.zeros(0, jnp.bfloat16)).dtype:
+        return a.view(np.uint16), "bfloat16"
+    return a, str(a.dtype)
+
+
 def save_prefix(path: str, cache: KVCache, token_ids: List[int],
                 slot: int = 0) -> int:
     """Persist slot `slot`'s valid prefix. Returns saved token count."""
     n = int(cache.length[slot])
+    k, k_dt = _to_np(cache.k[:, slot, :, :n])
+    v, v_dt = _to_np(cache.v[:, slot, :, :n])
     data = {
         "tokens": np.asarray(token_ids[:n], np.int32),
-        "k": np.asarray(cache.k[:, slot, :, :n]),
-        "v": np.asarray(cache.v[:, slot, :, :n]),
+        "k": k, "v": v,
+        "kv_dtype": np.asarray(k_dt),
         "quantized": np.asarray(cache.quantized),
     }
     if cache.quantized:
@@ -49,8 +59,12 @@ def load_prefix(path: str, cache: KVCache, slot: int = 0
         raise ValueError(f"prefix length {n} exceeds capacity {cache.capacity}")
     if bool(z["quantized"]) != cache.quantized:
         raise ValueError("prefix cache quantization mode mismatch")
-    k = cache.k.at[:, slot, :, :n].set(jnp.asarray(z["k"]))
-    v = cache.v.at[:, slot, :, :n].set(jnp.asarray(z["v"]))
+    kv_np_k, kv_np_v = z["k"], z["v"]
+    if str(z.get("kv_dtype", "")) == "bfloat16":
+        kv_np_k = jnp.asarray(kv_np_k).view(jnp.bfloat16)
+        kv_np_v = jnp.asarray(kv_np_v).view(jnp.bfloat16)
+    k = cache.k.at[:, slot, :, :n].set(jnp.asarray(kv_np_k))
+    v = cache.v.at[:, slot, :, :n].set(jnp.asarray(kv_np_v))
     ks, vs = cache.k_scale, cache.v_scale
     if cache.quantized:
         ks = ks.at[:, slot, :, :n].set(jnp.asarray(z["k_scale"]))
