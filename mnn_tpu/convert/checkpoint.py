@@ -40,7 +40,8 @@ def _flatten(params: Params) -> Tuple[dict, dict]:
         if val is None:
             return
         if isinstance(val, QuantizedLinear):
-            meta[prefix] = {"bits": val.bits, "block_size": val.block_size}
+            meta[prefix] = {"bits": val.bits, "block_size": val.block_size,
+                            "act_bits": val.act_bits}
             put(prefix + ".packed", val.packed)
             put(prefix + ".scale", val.scale)
             put(prefix + ".bias", val.bias)
@@ -138,6 +139,7 @@ def load_checkpoint(model_dir: str):
             out_bias=tensors.get(prefix + ".out_bias"),
             bits=m["bits"],
             block_size=m["block_size"],
+            act_bits=m.get("act_bits", 16),
         )
 
     def opt_ql(prefix):

@@ -59,6 +59,7 @@ def convert_hf(
     block_size: int = 128,
     sym: bool = False,
     tp_shards: int = 1,
+    act_bits: int = 16,
     rt: Optional[RuntimeConfig] = None,
 ) -> None:
     """Convert + quantize a local HF decoder checkpoint (qwen2/qwen3/llama)."""
@@ -79,7 +80,7 @@ def convert_hf(
     def quantize_stacked(mats, biases, bs):
         """mats: list of [K, N] per layer -> stacked QuantizedLinear."""
         qs = [
-            quantize(m, bits=bits, block_size=bs, sym=sym)
+            quantize(m, bits=bits, block_size=bs, sym=sym, act_bits=act_bits)
             for m in mats
         ]
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *qs)
@@ -208,7 +209,8 @@ def convert_hf(
     )
 
     rt = (rt or RuntimeConfig()).merge(
-        quant_bits=bits, quant_block=block_size, quant_sym=sym
+        quant_bits=bits, quant_block=block_size, quant_sym=sym,
+        act_bits=act_bits,
     )
     from mnn_tpu.convert.checkpoint import save_checkpoint
 

@@ -44,6 +44,46 @@ from mnn_tpu.kernels.common import (
 )
 
 
+def _kernel_a8(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, bits, block_size, nb):
+    """W4A8/W8A8: int8 activations x signed-shifted int weights on the MXU.
+
+    Weights stored unsigned (w = q*s + m) are re-centered to signed
+    (q_s = q - 2^(b-1)) so the dot runs int8 x int8 -> int32; the caller
+    pre-folds the shift into the bias plane (b' = 2^(b-1)*s + m). Per-row
+    activation scales are applied outside the kernel (rank-1, XLA fuses).
+    """
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    bs = block_size
+    half = bs // 2
+    x = x_ref[...]  # int8 [bm, bk]
+
+    acc = acc_ref[...]
+    for kb in range(nb):
+        if bits == 4:
+            w32 = w_ref[kb * half : (kb + 1) * half, :].astype(jnp.int32)
+            lo = (w32 & 0xF) - 8
+            hi = ((w32 >> 4) & 0xF) - 8
+            q = jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+        else:
+            w32 = w_ref[kb * bs : (kb + 1) * bs, :].astype(jnp.int32)
+            q = ((w32 & 0xFF) - 128).astype(jnp.int8)
+        xb = x[:, kb * bs : (kb + 1) * bs]
+        part = jax.lax.dot_general(
+            xb, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        rsb = jnp.sum(xb.astype(jnp.int32), axis=1, keepdims=True)
+        acc = acc + part.astype(jnp.float32) * s_ref[kb] \
+            + rsb.astype(jnp.float32) * b_ref[kb]
+    acc_ref[...] = acc
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _done():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
 def _kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, bits, block_size, nb):
     @pl.when(pl.program_id(2) == 0)
     def _init():
@@ -111,8 +151,14 @@ def dequant_matmul(
     the quantized weights themselves are frozen, LoRA trains adapters).
     """
     if not use_pallas(interpret):
-        from mnn_tpu.quant.quantize import matmul_dequant_ref
+        from mnn_tpu.quant.quantize import (
+            matmul_dequant_ref,
+            quantize_activations_int8,
+        )
 
+        if ql.act_bits == 8:
+            xq, xs = quantize_activations_int8(x)
+            x = (xq.astype(jnp.float32) * xs).astype(jnp.bfloat16)
         return matmul_dequant_ref(x, ql, dtype=out_dtype)
     if interpret is None:
         interpret = interpret_mode()
@@ -162,7 +208,14 @@ def _dequant_matmul_pallas(
     m = 1
     for d in lead:
         m *= d
-    x2 = x.reshape(m, k).astype(jnp.bfloat16)
+    a8 = ql.act_bits == 8
+    if a8:
+        from mnn_tpu.quant.quantize import quantize_activations_int8
+
+        xq, xs = quantize_activations_int8(x.reshape(m, k))
+        x2 = xq
+    else:
+        x2 = x.reshape(m, k).astype(jnp.bfloat16)
 
     bm, bn, bk = choose_blocks(m, k, n, bs)
     if block_m is not None:
@@ -179,7 +232,19 @@ def _dequant_matmul_pallas(
     pack = 2 if ql.bits == 4 else 1
     grid = (m_pad // bm, n // bn, k // bk)
 
-    kernel = functools.partial(_kernel, bits=ql.bits, block_size=bs, nb=nb)
+    if a8:
+        kernel = functools.partial(
+            _kernel_a8, bits=ql.bits, block_size=bs, nb=nb
+        )
+        center = 1 << (ql.bits - 1)
+        scale_in = ql.scale
+        bias_in = center * ql.scale + ql.bias  # fold signed re-centering
+    else:
+        kernel = functools.partial(
+            _kernel, bits=ql.bits, block_size=bs, nb=nb
+        )
+        scale_in = ql.scale
+        bias_in = ql.bias
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -204,11 +269,14 @@ def _dequant_matmul_pallas(
     )(
         x2,
         ql.packed,
-        ql.scale.reshape(k // bs, 1, n),
-        ql.bias.reshape(k // bs, 1, n),
+        scale_in.reshape(k // bs, 1, n),
+        bias_in.reshape(k // bs, 1, n),
     )
 
     out = out[:m]
+    if a8:
+        # per-row activation scales (rank-1; XLA fuses into the slice/cast)
+        out = (out.astype(jnp.float32) * xs).astype(out_dtype)
     if ql.out_bias is not None:
         out = (out.astype(jnp.float32) + ql.out_bias).astype(out_dtype)
     return out.reshape(*lead, n)

@@ -133,6 +133,7 @@ class RuntimeConfig:
     quant_bits: int = 4            # quant_bit
     quant_block: int = 128         # quant_block
     quant_sym: bool = False        # sym
+    act_bits: int = 16             # 8 = dynamic int8 activations (W4A8)
     kv_quant: bool = True          # attention mode int8-KV (MNN KVCacheInfo)
     max_seq_len: int = 4096        # kvcache capacity per sequence
     max_batch: int = 1

@@ -183,6 +183,7 @@ def init_random_params(
     scale: float = 0.02,
     tp_shards: int = 1,
     fast: bool = False,
+    act_bits: int = 16,
 ) -> Params:
     """Random quantized weights (bench/tests; real weights come from convert/).
 
@@ -212,14 +213,15 @@ def init_random_params(
             )
             stacked = QuantizedLinear(
                 packed=packed, scale=s, bias=-s * (qmax / 2), out_bias=None,
-                bits=quant_bits, block_size=bs,
+                bits=quant_bits, block_size=bs, act_bits=act_bits,
             )
         else:
             w = jax.random.normal(
                 key, (c.num_layers, k_dim, n_dim), jnp.float32
             ) * scale
             stacked = jax.vmap(
-                lambda wi: quantize(wi, bits=quant_bits, block_size=bs, sym=sym)
+                lambda wi: quantize(wi, bits=quant_bits, block_size=bs,
+                                    sym=sym, act_bits=act_bits)
             )(w)
         if with_bias:
             stacked = dataclasses.replace(

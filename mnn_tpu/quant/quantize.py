@@ -46,6 +46,10 @@ class QuantizedLinear:
     out_bias: Optional[jax.Array]  # f32 [N] or None
     bits: int = dataclasses.field(metadata=dict(static=True), default=4)
     block_size: int = dataclasses.field(metadata=dict(static=True), default=128)
+    # activation precision for matmuls against these weights: 16 = bf16
+    # (W4A16/W8A16), 8 = dynamic per-token int8 (W4A8: the reference's
+    # MNNDynamicQuant + int8 GEMM path; here it feeds the int8 MXU)
+    act_bits: int = dataclasses.field(metadata=dict(static=True), default=16)
 
     @property
     def in_features(self) -> int:
@@ -112,6 +116,7 @@ def quantize(
     block_size: int = 128,
     sym: bool = False,
     out_bias: Optional[jax.Array] = None,
+    act_bits: int = 16,
 ) -> QuantizedLinear:
     """Quantize a float [K, N] weight matrix to the per-block packed format."""
     w = jnp.asarray(w, jnp.float32)
@@ -150,6 +155,7 @@ def quantize(
         out_bias=None if out_bias is None else jnp.asarray(out_bias, jnp.float32),
         bits=bits,
         block_size=block_size,
+        act_bits=act_bits,
     )
 
 

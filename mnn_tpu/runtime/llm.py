@@ -80,7 +80,7 @@ class Llm:
         params = init_random_params(
             config, jax.random.PRNGKey(seed),
             quant_bits=rt.quant_bits, quant_block=rt.quant_block,
-            sym=rt.quant_sym, fast=True,
+            sym=rt.quant_sym, fast=True, act_bits=rt.act_bits,
         )
         return cls(config, params, rt)
 

@@ -135,3 +135,38 @@ class TestActivationQuant:
         assert q.dtype == jnp.int8
         back = np.asarray(q, np.float32) * np.asarray(scale)
         np.testing.assert_allclose(back, np.asarray(x), atol=np.asarray(scale).max())
+
+
+class TestActBits8:
+    @pytest.mark.parametrize("bits", [4, 8])
+    def test_a8_kernel_matches_dequant(self, bits):
+        w = _rand((256, 128), seed=11, scale=0.05)
+        ql = quantize(w, bits=bits, block_size=64, act_bits=8)
+        x = jnp.asarray(_rand((8, 256), seed=12))
+        got = np.asarray(dequant_matmul(x, ql, interpret=True), np.float32)
+        exact = np.asarray(x) @ np.asarray(dequantize(ql))
+        rel = np.linalg.norm(got - exact) / np.linalg.norm(exact)
+        assert rel < 0.03, rel
+
+    def test_a8_xla_ref_path(self):
+        w = _rand((128, 64), seed=13, scale=0.05)
+        ql = quantize(w, bits=4, block_size=64, act_bits=8)
+        x = jnp.asarray(_rand((4, 128), seed=14))
+        got = np.asarray(dequant_matmul(x, ql), np.float32)  # cpu -> XLA ref
+        exact = np.asarray(x) @ np.asarray(dequantize(ql))
+        rel = np.linalg.norm(got - exact) / np.linalg.norm(exact)
+        assert rel < 0.03, rel
+
+    def test_decoder_runs_with_a8(self):
+        from mnn_tpu.models.config import PRESETS
+        from mnn_tpu.models.decoder import forward, init_random_params
+        from mnn_tpu.runtime import kvcache
+
+        cfg = PRESETS["tiny"]
+        params = init_random_params(cfg, jax.random.PRNGKey(0), scale=0.05,
+                                    act_bits=8)
+        cache = kvcache.create(cfg.num_layers, 1, cfg.num_kv_heads, 16,
+                               cfg.head_dim, quantized=False)
+        logits, _ = forward(params, cfg, jnp.asarray([[1, 2, 3]], jnp.int32),
+                            cache)
+        assert np.isfinite(np.asarray(logits)).all()
