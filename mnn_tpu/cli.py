@@ -136,6 +136,7 @@ def cmd_convert(args):
     convert_hf(
         args.hf, args.out, bits=args.bits, block_size=args.block,
         sym=args.sym, tp_shards=args.tp, act_bits=args.act_bits,
+        lm_head_bits=args.lm_head_bits,
     )
     print(f"converted {args.hf} -> {args.out} "
           f"(int{args.bits}, block {args.block}, {time.time()-t0:.1f}s)")
@@ -222,6 +223,8 @@ def main(argv=None):
     p.add_argument("--sym", action="store_true")
     p.add_argument("--act-bits", type=int, default=16, choices=(8, 16),
                    help="8 = dynamic int8 activations (W4A8)")
+    p.add_argument("--lm-head-bits", type=int, default=0, choices=(0, 4, 8),
+                   help="quantize the output projection (0 = keep bf16)")
     p.add_argument("--tp", type=int, default=1,
                    help="target tensor-parallel shards (affects block sizes)")
     p.set_defaults(fn=cmd_convert)

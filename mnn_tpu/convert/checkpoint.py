@@ -164,7 +164,8 @@ def load_checkpoint(model_dir: str):
     params = Params(
         embedding=tensors["embedding"],
         final_norm=tensors["final_norm"],
-        lm_head=tensors.get("lm_head"),
+        lm_head=opt_ql("lm_head") if "lm_head" in quant_meta
+        else tensors.get("lm_head"),
         layers=layers,
     )
     return config, params, rt

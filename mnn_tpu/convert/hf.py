@@ -60,6 +60,7 @@ def convert_hf(
     sym: bool = False,
     tp_shards: int = 1,
     act_bits: int = 16,
+    lm_head_bits: int = 8,
     rt: Optional[RuntimeConfig] = None,
 ) -> None:
     """Convert + quantize a local HF decoder checkpoint (qwen2/qwen3/llama)."""
@@ -198,9 +199,19 @@ def convert_hf(
     )
 
     emb = jnp.asarray(get("model.embed_tokens.weight"), jnp.bfloat16)
-    lm_head = None
-    if not c.tie_word_embeddings and "lm_head.weight" in t:
-        lm_head = jnp.asarray(get("lm_head.weight").T, jnp.bfloat16)
+    if c.tie_word_embeddings:
+        head_w = get("model.embed_tokens.weight").T  # [hidden, vocab]
+    else:
+        head_w = get("lm_head.weight").T
+    if lm_head_bits in (4, 8):
+        # quantized output projection (decode reads it once per token)
+        bs_head = choose_block_size(c.hidden_size, block_size)
+        lm_head = quantize(head_w, bits=lm_head_bits, block_size=bs_head,
+                           sym=sym)
+    elif c.tie_word_embeddings:
+        lm_head = None
+    else:
+        lm_head = jnp.asarray(head_w, jnp.bfloat16)
     params = Params(
         embedding=emb,
         final_norm=jnp.asarray(get("model.norm.weight"), jnp.float32),

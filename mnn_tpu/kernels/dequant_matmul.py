@@ -120,12 +120,18 @@ def _kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, bits, block_size, nb)
 
 
 def choose_blocks(m: int, k: int, n: int, block_size: int):
-    """Pick (bm, bn, bk): MXU-aligned, VMEM-bounded, minimizing re-fetch."""
+    """Pick (bm, bn, bk): MXU-aligned, VMEM-bounded, minimizing re-fetch.
+
+    N need not be divisible by bn (partial edge blocks only touch output
+    columns that exist; K stays exactly tiled because partial K blocks
+    would corrupt the accumulation).
+    """
     bm = 256 if m >= 256 else round_up(m, 8)
-    # Large bn cuts the number of passes over x (x traffic = x_bytes * n/bn).
-    # Budget: acc (bm*bn*4) + double-buffered w/scale tiles within ~12 MB.
+    # Large bn cuts the number of passes over x (x traffic = x_bytes * n/bn)
+    # and the number of grid steps (vocab-sized N with prime factors would
+    # otherwise degenerate to bn=128 and thousands of steps).
     bn_cap = 4096 if m > 64 else 2048
-    bn = largest_divisor_leq(n, bn_cap, 128)
+    bn = min(round_up(n, 128), bn_cap)
     bk_cap = max(block_size, (3 << 20) // max(bn, 1) * 2)  # ~1.5MB packed tile
     bk = largest_divisor_leq(k, min(bk_cap, 2048), block_size)
     return bm, bn, bk
@@ -230,7 +236,7 @@ def _dequant_matmul_pallas(
 
     nb = bk // bs
     pack = 2 if ql.bits == 4 else 1
-    grid = (m_pad // bm, n // bn, k // bk)
+    grid = (m_pad // bm, -(-n // bn), k // bk)
 
     if a8:
         kernel = functools.partial(

@@ -134,6 +134,9 @@ class RuntimeConfig:
     quant_block: int = 128         # quant_block
     quant_sym: bool = False        # sym
     act_bits: int = 16             # 8 = dynamic int8 activations (W4A8)
+    lm_head_bits: int = 0          # quantized output projection (0 = bf16;
+                                   # int8 halves head HBM but costs VPU casts
+                                   # — wins only when HBM-capacity-bound)
     kv_quant: bool = True          # attention mode int8-KV (MNN KVCacheInfo)
     max_seq_len: int = 4096        # kvcache capacity per sequence
     max_batch: int = 1

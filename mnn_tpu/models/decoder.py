@@ -72,7 +72,11 @@ class LayerParams:
 class Params:
     embedding: jax.Array       # [vocab, hidden] bf16
     final_norm: jax.Array      # [hidden]
-    lm_head: Optional[jax.Array]  # [hidden, vocab] bf16; None when tied
+    # [hidden, vocab] bf16, a QuantizedLinear (int8/int4 head — the decode
+    # output projection is pure weight streaming, so quantizing it is the
+    # TPU analog of the reference's DiskEmbedding keeping the matrix out of
+    # RAM), or None when tied to the embedding
+    lm_head: Optional[jax.Array | QuantizedLinear]
     layers: LayerParams
 
 
@@ -184,6 +188,7 @@ def init_random_params(
     tp_shards: int = 1,
     fast: bool = False,
     act_bits: int = 16,
+    lm_head_bits: int = 0,
 ) -> Params:
     """Random quantized weights (bench/tests; real weights come from convert/).
 
@@ -291,11 +296,31 @@ def init_random_params(
         **moe_fields,
     )
     emb = jax.random.normal(keys[4], (c.vocab_size, c.hidden_size), jnp.bfloat16) * scale
-    lm_head = (
-        None
-        if c.tie_word_embeddings
-        else jax.random.normal(keys[5], (c.hidden_size, c.vocab_size), jnp.bfloat16) * scale
-    )
+    if lm_head_bits in (4, 8):
+        bs_h = choose_block_size(c.hidden_size, quant_block)
+        if fast:
+            pack = 2 if lm_head_bits == 4 else 1
+            qmax = (1 << lm_head_bits) - 1
+            s = jnp.full(
+                (c.hidden_size // bs_h, c.vocab_size), 2 * scale / qmax,
+                jnp.float32,
+            )
+            lm_head = QuantizedLinear(
+                packed=jax.random.randint(
+                    keys[5], (c.hidden_size // pack, c.vocab_size),
+                    -128, 128, jnp.int32).astype(jnp.int8),
+                scale=s, bias=-s * (qmax / 2), out_bias=None,
+                bits=lm_head_bits, block_size=bs_h,
+            )
+        else:
+            w = jax.random.normal(
+                keys[5], (c.hidden_size, c.vocab_size), jnp.float32) * scale
+            lm_head = quantize(w, bits=lm_head_bits, block_size=bs_h, sym=sym)
+    elif c.tie_word_embeddings:
+        lm_head = None
+    else:
+        lm_head = jax.random.normal(
+            keys[5], (c.hidden_size, c.vocab_size), jnp.bfloat16) * scale
     return Params(
         embedding=emb,
         final_norm=jnp.ones((c.hidden_size,), jnp.float32),
@@ -442,11 +467,16 @@ def forward(
     x = rms_norm(x, params.final_norm, c.rms_norm_eps)
     if not all_logits:
         x = x[:, -1]  # logits_index = -1 (reference llm.cpp io names)
-    head = params.embedding.T if params.lm_head is None else params.lm_head
-    logits = jnp.dot(
-        x.astype(jnp.bfloat16), head.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
+    if isinstance(params.lm_head, QuantizedLinear):
+        logits = dequant_matmul(
+            x, params.lm_head, out_dtype=jnp.float32, interpret=interpret
+        )
+    else:
+        head = params.embedding.T if params.lm_head is None else params.lm_head
+        logits = jnp.dot(
+            x.astype(jnp.bfloat16), head.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
     if tp_axis and params.lm_head is not None:
         # vocab-sharded head: gather the full logit row for sampling
         logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)

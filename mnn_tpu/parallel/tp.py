@@ -103,10 +103,19 @@ def param_specs(config: ModelConfig, params: Params) -> Params:
         wdown_shared=_replicated_ql(lp.wdown_shared),
         shared_gate=None if lp.shared_gate is None else P(None, None),
     )
+    if params.lm_head is None:
+        head_spec = None
+    elif isinstance(params.lm_head, QuantizedLinear):
+        head_spec = dataclasses.replace(
+            params.lm_head, packed=P(None, "tp"), scale=P(None, "tp"),
+            bias=P(None, "tp"), out_bias=None,
+        )
+    else:
+        head_spec = P(None, "tp")
     return Params(
         embedding=P(None, None),  # replicated (gather source)
         final_norm=P(None),
-        lm_head=None if params.lm_head is None else P(None, "tp"),
+        lm_head=head_spec,
         layers=layer,
     )
 

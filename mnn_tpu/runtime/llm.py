@@ -81,6 +81,7 @@ class Llm:
             config, jax.random.PRNGKey(seed),
             quant_bits=rt.quant_bits, quant_block=rt.quant_block,
             sym=rt.quant_sym, fast=True, act_bits=rt.act_bits,
+            lm_head_bits=rt.lm_head_bits,
         )
         return cls(config, params, rt)
 

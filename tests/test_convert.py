@@ -112,3 +112,28 @@ class TestCheckpointRoundtrip:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert params2.layers.wqkv.bits == params.layers.wqkv.bits
         assert params2.layers.wqkv.block_size == params.layers.wqkv.block_size
+
+
+class TestQuantizedLmHead:
+    def test_quantized_head_matches_bf16(self, hf_model_dir, tmp_path):
+        torch = pytest.importorskip("torch")
+        src, model = hf_model_dir
+        from mnn_tpu.convert.checkpoint import load_checkpoint
+        from mnn_tpu.convert.hf import convert_hf
+        from mnn_tpu.quant.quantize import QuantizedLinear
+
+        out = str(tmp_path / "qhead")
+        convert_hf(src, out, bits=8, block_size=32, lm_head_bits=8)
+        config, params, _ = load_checkpoint(out)
+        assert isinstance(params.lm_head, QuantizedLinear)
+
+        ids = np.array([[5, 17, 99, 3]], np.int64)
+        with torch.no_grad():
+            want = model(torch.from_numpy(ids)).logits.float().numpy()
+        cache = kvcache.create(config.num_layers, 1, config.num_kv_heads, 8,
+                               config.head_dim, quantized=False)
+        got, _ = forward(params, config, jnp.asarray(ids, jnp.int32), cache,
+                         all_logits=True)
+        rel = np.linalg.norm(np.asarray(got, np.float32) - want) / \
+            np.linalg.norm(want)
+        assert rel < 0.08, rel
