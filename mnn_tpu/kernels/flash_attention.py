@@ -39,7 +39,7 @@ NEG_INF = -1e30
 
 def attention_xla_ref(
     q, k, v, kv_len=None, q_offset=None, causal=True, sm_scale=None,
-    k_scale=None, v_scale=None,
+    k_scale=None, v_scale=None, window=0, sink=0,
 ):
     """Pure-XLA masked-softmax attention — the off-TPU reference path and the
     numerics oracle (float32 math). q [B,H,Tq,D], k/v [B,Hkv,S,D]."""
@@ -62,14 +62,22 @@ def attention_xla_ref(
     kv_len = jnp.broadcast_to(jnp.asarray(kv_len), (b,))
     col = jnp.arange(s)
     mask = col[None, None, None, :] < kv_len[:, None, None, None]
+    if q_offset is None:
+        q_offset = kv_len - tq
+    q_offset = jnp.broadcast_to(jnp.asarray(q_offset), (b,))
+    row_pos = q_offset[:, None] + jnp.arange(tq)[None, :]  # [B, Tq]
     if causal:
-        if q_offset is None:
-            q_offset = kv_len - tq
-        q_offset = jnp.broadcast_to(jnp.asarray(q_offset), (b,))
-        row_pos = q_offset[:, None] + jnp.arange(tq)[None, :]
         mask = jnp.logical_and(
             mask, col[None, None, None, :] <= row_pos[:, None, :, None]
         )
+    if window:
+        # sliding window with optional attention sink (reference
+        # CPUAttention.cpp:209: keep the first `sink` positions visible)
+        in_window = col[None, None, None, :] > (
+            row_pos[:, None, :, None] - window)
+        if sink:
+            in_window = jnp.logical_or(in_window, col[None, None, None, :] < sink)
+        mask = jnp.logical_and(mask, in_window)
     scores = jnp.where(mask, scores, NEG_INF)
     p = jax.nn.softmax(scores, axis=-1)
     return jnp.einsum("bhts,bhsd->bhtd", p, vf).astype(q.dtype)
@@ -79,7 +87,7 @@ def _prefill_kernel(
     lens_ref,  # SMEM [2] int32: (kv_len, q_offset)
     q_ref, k_ref, v_ref, o_ref,
     acc_ref, m_ref, l_ref,
-    *, bq, bkv, scale, causal,
+    *, bq, bkv, scale, causal, window, sink,
 ):
     kv_idx = pl.program_id(2)
     kv_start = kv_idx * bkv
@@ -101,13 +109,18 @@ def _prefill_kernel(
 
         col = kv_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
         mask = col < kv_len
+        q_pos = (
+            lens_ref[1]
+            + pl.program_id(1) * bq
+            + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+        )
         if causal:
-            q_pos = (
-                lens_ref[1]
-                + pl.program_id(1) * bq
-                + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
-            )
             mask = jnp.logical_and(mask, col <= q_pos)
+        if window:
+            in_window = col > q_pos - window
+            if sink:
+                in_window = jnp.logical_or(in_window, col < sink)
+            mask = jnp.logical_and(mask, in_window)
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_ref[...]  # [bq, 128] (column-replicated row stats)
@@ -133,7 +146,8 @@ def _prefill_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "block_q", "block_kv", "interpret", "sm_scale"),
+    static_argnames=("causal", "block_q", "block_kv", "interpret", "sm_scale",
+                     "window", "sink"),
 )
 def flash_attention(
     q: jax.Array,  # [B, H, Tq, D]
@@ -147,12 +161,14 @@ def flash_attention(
     block_q: int = 256,
     block_kv: int = 512,
     interpret: Optional[bool] = None,
+    window: int = 0,
+    sink: int = 0,
 ) -> jax.Array:
     """Attention over a (possibly partially filled) KV buffer. Returns [B,H,Tq,D]."""
     if not use_pallas(interpret):
         return attention_xla_ref(
             q, k, v, kv_len=kv_len, q_offset=q_offset, causal=causal,
-            sm_scale=sm_scale,
+            sm_scale=sm_scale, window=window, sink=sink,
         )
     if interpret is None:
         interpret = interpret_mode()
@@ -189,7 +205,8 @@ def flash_attention(
         return ((bh // h) * hkv + (bh % h) // group, j, 0)
 
     kernel = functools.partial(
-        _prefill_kernel, bq=bq, bkv=bkv, scale=sm_scale, causal=causal
+        _prefill_kernel, bq=bq, bkv=bkv, scale=sm_scale, causal=causal,
+        window=window, sink=sink,
     )
     out = pl.pallas_call(
         kernel,
@@ -231,7 +248,7 @@ def _decode_kernel(
     vs_ref,
     o_ref,      # [1, gp, d]
     acc_ref, m_ref, l_ref,
-    *, gp, bkv, scale, quantized,
+    *, gp, bkv, scale, quantized, window, sink,
 ):
     kv_idx = pl.program_id(1)
     kv_start = kv_idx * bkv
@@ -257,7 +274,13 @@ def _decode_kernel(
         s = s * scale
 
         col = kv_start + jax.lax.broadcasted_iota(jnp.int32, (gp, bkv), 1)
-        s = jnp.where(col < kv_len, s, NEG_INF)
+        mask = col < kv_len
+        if window:
+            in_window = col > kv_len - 1 - window
+            if sink:
+                in_window = jnp.logical_or(in_window, col < sink)
+            mask = jnp.logical_and(mask, in_window)
+        s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_ref[...]
         m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -285,7 +308,8 @@ def _decode_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_kv", "interpret", "sm_scale")
+    jax.jit, static_argnames=("block_kv", "interpret", "sm_scale", "window",
+                              "sink")
 )
 def decode_attention(
     q: jax.Array,  # [B, H, D] one query position per sequence
@@ -298,14 +322,18 @@ def decode_attention(
     sm_scale: Optional[float] = None,
     block_kv: int = 512,
     interpret: Optional[bool] = None,
+    window: int = 0,
+    sink: int = 0,
 ) -> jax.Array:
     """Single-position GQA attention against a fixed-capacity KV cache."""
     if k.dtype == jnp.int8 and (k_scale is None or v_scale is None):
         raise ValueError("int8 KV cache requires k_scale/v_scale")
     if not use_pallas(interpret):
+        kv_len_b = jnp.broadcast_to(jnp.asarray(kv_len), (q.shape[0],))
         return attention_xla_ref(
             q[:, :, None], k, v, kv_len=kv_len, causal=False,
             sm_scale=sm_scale, k_scale=k_scale, v_scale=v_scale,
+            window=window, sink=sink, q_offset=kv_len_b - 1,
         )[:, :, 0]
     if interpret is None:
         interpret = interpret_mode()
@@ -345,7 +373,8 @@ def decode_attention(
         scale_spec = pl.BlockSpec((1, 1, 128), lambda bh, j, *_: (bh, 0, 0))
 
     kernel = functools.partial(
-        _decode_kernel, gp=gp, bkv=bkv, scale=sm_scale, quantized=quantized
+        _decode_kernel, gp=gp, bkv=bkv, scale=sm_scale, quantized=quantized,
+        window=window, sink=sink,
     )
     out = pl.pallas_call(
         kernel,

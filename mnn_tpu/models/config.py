@@ -33,6 +33,9 @@ class ModelConfig:
     attention_bias: bool = True   # qwen2 uses qkv bias
     qk_norm: bool = False         # qwen3 per-head RMSNorm on q/k
     max_position_embeddings: int = 32768
+    # long-context handling (reference CPUAttention sliding window + sink)
+    sliding_window: int = 0        # 0 = full attention
+    attention_sink: int = 0        # always-visible prefix positions
     # MoE (0 experts = dense). Mirrors qwen2/3-moe HF config fields.
     num_experts: int = 0
     num_experts_per_tok: int = 2
@@ -72,6 +75,8 @@ class ModelConfig:
             attention_bias=d.get("attention_bias", "qwen2" in arch),
             qk_norm="qwen3" in arch,
             max_position_embeddings=d.get("max_position_embeddings", 32768),
+            sliding_window=(d.get("sliding_window") or 0)
+            if d.get("use_sliding_window") else 0,
             num_experts=d.get("num_experts", 0),
             num_experts_per_tok=d.get("num_experts_per_tok", 2),
             moe_intermediate_size=d.get("moe_intermediate_size", 0),

@@ -342,6 +342,7 @@ def _attention(
         return decode_attention(
             q[:, :, 0], k_cache, v_cache, kv_len,
             k_scale=k_scale, v_scale=v_scale, interpret=interpret,
+            window=config.sliding_window, sink=config.attention_sink,
         )[:, :, None]
     if k_cache.dtype == jnp.int8:
         # Prefill reads freshly appended bf16 K/V via their dequantized form:
@@ -353,6 +354,7 @@ def _attention(
         kf, vf = k_cache, v_cache
     return flash_attention(
         q, kf, vf, kv_len=kv_len[0], q_offset=start, interpret=interpret,
+        window=config.sliding_window, sink=config.attention_sink,
     )
 
 

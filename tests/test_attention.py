@@ -124,3 +124,54 @@ class TestDecodeAttention:
             kv_len=kv_len, causal=False,
         )[:, :, 0]
         assert _rel(got, want) < 3e-2
+
+
+class TestSlidingWindow:
+    def _naive_window(self, q, k, v, window, sink, q_offset):
+        b, h, t, d = q.shape
+        s = k.shape[2]
+        scores = jnp.einsum("bhtd,bhsd->bhts", q, k) / (d ** 0.5)
+        col = jnp.arange(s)[None, :]
+        row = q_offset + jnp.arange(t)[:, None]
+        mask = col <= row
+        win = col > row - window
+        if sink:
+            win = win | (col < sink)
+        mask = mask & win
+        scores = jnp.where(mask[None, None], scores, -1e30)
+        p = jax.nn.softmax(scores, axis=-1)
+        return jnp.einsum("bhts,bhsd->bhtd", p, v)
+
+    def test_prefill_window_and_sink(self):
+        b, h, t, d = 1, 2, 64, 64
+        q = _rand((b, h, t, d), 20).astype(jnp.bfloat16)
+        k = _rand((b, h, t, d), 21).astype(jnp.bfloat16)
+        v = _rand((b, h, t, d), 22).astype(jnp.bfloat16)
+        got = flash_attention(q, k, v, kv_len=jnp.asarray(t, jnp.int32),
+                              q_offset=jnp.asarray(0, jnp.int32),
+                              window=16, sink=4, block_q=32, block_kv=32,
+                              interpret=True)
+        want = self._naive_window(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            v.astype(jnp.float32), 16, 4, 0)
+        assert _rel(got, want) < 2e-2
+
+    def test_decode_window(self):
+        b, hkv, s, d = 1, 2, 256, 64
+        h = 4
+        kv_len = jnp.asarray([200], jnp.int32)
+        q = _rand((b, h, d), 23).astype(jnp.bfloat16)
+        k = _rand((b, hkv, s, d), 24).astype(jnp.bfloat16)
+        v = _rand((b, hkv, s, d), 25).astype(jnp.bfloat16)
+        got = decode_attention(q, k, v, kv_len, window=32, sink=2,
+                               block_kv=128, interpret=True)
+        kf = jnp.repeat(k.astype(jnp.float32), 2, axis=1)
+        vf = jnp.repeat(v.astype(jnp.float32), 2, axis=1)
+        want = self._naive_window(
+            q.astype(jnp.float32)[:, :, None], kf[:, :, :], vf, 32, 2,
+            jnp.asarray(199))[:, :, 0]
+        # mask out positions >= kv_len in oracle: emulate by slicing
+        want_sliced = self._naive_window(
+            q.astype(jnp.float32)[:, :, None], kf[:, :, :200], vf[:, :, :200],
+            32, 2, jnp.asarray(199))[:, :, 0]
+        assert _rel(got, want_sliced) < 2e-2
