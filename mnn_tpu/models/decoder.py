@@ -371,6 +371,7 @@ def forward(
     interpret: Optional[bool] = None,
     tp_axis: Optional[str] = None,
     lora: Optional["LoraParams"] = None,
+    inputs_embeds: Optional[jax.Array] = None,  # [B, T, hidden] (multimodal)
 ) -> Tuple[jax.Array, KVCache]:
     """Run the model over `tokens`, appending T positions to the cache.
 
@@ -386,7 +387,10 @@ def forward(
     """
     c = config
     b, t = tokens.shape
-    x = params.embedding[tokens]  # [B, T, hidden]
+    if inputs_embeds is not None:
+        x = inputs_embeds.astype(params.embedding.dtype)
+    else:
+        x = params.embedding[tokens]  # [B, T, hidden]
     start = cache.length[0]       # uniform write offset (prefill)
     positions = cache.length[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
     cos, sin = rope_cos_sin(positions, c.head_dim, c.rope_theta)
