@@ -73,7 +73,16 @@ def convert_hf(
     d = c.head_dim
 
     def get(name):
-        return _f32(t[name])
+        if name in t:
+            return _f32(t[name])
+        # AWQ/GPTQ-quantized checkpoint: {base}.qweight/qzeros/scales
+        base = name[: -len(".weight")] if name.endswith(".weight") else name
+        if base + ".qweight" in t:
+            from mnn_tpu.convert.awq import load_awq_weight
+
+            w, _group = load_awq_weight(t, base)  # [in, out] on the AWQ grid
+            return w.T.astype(np.float32)  # [out, in] like HF float weights
+        raise KeyError(name)
 
     def maybe(name):
         return _f32(t[name]) if name in t else None
