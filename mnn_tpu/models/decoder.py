@@ -359,7 +359,9 @@ def _attention(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "all_logits", "interpret", "tp_axis")
+    jax.jit,
+    static_argnames=("config", "all_logits", "interpret", "tp_axis",
+                     "return_hidden"),
 )
 def forward(
     params: Params,
@@ -372,6 +374,7 @@ def forward(
     tp_axis: Optional[str] = None,
     lora: Optional["LoraParams"] = None,
     inputs_embeds: Optional[jax.Array] = None,  # [B, T, hidden] (multimodal)
+    return_hidden: bool = False,  # pipeline stages: skip the head
 ) -> Tuple[jax.Array, KVCache]:
     """Run the model over `tokens`, appending T positions to the cache.
 
@@ -470,6 +473,12 @@ def forward(
         xs = xs + (lora,)
     x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(scan_body, x, xs)
 
+    new_cache = KVCache(
+        k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new, length=kv_len
+    )
+    if return_hidden:
+        return x, new_cache
+
     x = rms_norm(x, params.final_norm, c.rms_norm_eps)
     if not all_logits:
         x = x[:, -1]  # logits_index = -1 (reference llm.cpp io names)
@@ -487,7 +496,4 @@ def forward(
         # vocab-sharded head: gather the full logit row for sampling
         logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
 
-    new_cache = KVCache(
-        k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new, length=kv_len
-    )
     return logits, new_cache
