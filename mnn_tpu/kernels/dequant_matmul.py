@@ -134,6 +134,28 @@ def choose_blocks(m: int, k: int, n: int, block_size: int):
     bn = min(round_up(n, 128), bn_cap)
     bk_cap = max(block_size, (3 << 20) // max(bn, 1) * 2)  # ~1.5MB packed tile
     bk = largest_divisor_leq(k, min(bk_cap, 2048), block_size)
+
+    def vmem_bytes(bm_, bn_, bk_):
+        # double-buffered io tiles + accumulator + in-kernel temporaries
+        # (dequantized q tile, f32 partial) — keep under the ~16MB scoped
+        # budget with headroom for compiler spills
+        return (
+            2 * (bm_ * bk_ * 2)            # x tiles
+            + 2 * (bk_ // 2 * bn_)         # packed weight tiles
+            + 2 * (bm_ * bn_ * 2)          # out tiles
+            + bm_ * bn_ * 4                # acc scratch
+            + bm_ * bn_ * 4                # partial product
+            + block_size * bn_ * 2         # dequantized block
+            + 4 * (bk_ // block_size) * bn_ * 8  # scales/biases
+        )
+
+    while bn > 128 and vmem_bytes(bm, bn, bk) > (11 << 20):
+        bn -= 128
+    while bk > block_size and vmem_bytes(bm, bn, bk) > (11 << 20):
+        smaller = largest_divisor_leq(k, bk - block_size, block_size)
+        if smaller == bk:
+            break
+        bk = smaller
     return bm, bn, bk
 
 
