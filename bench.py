@@ -29,6 +29,7 @@ def main():
     rt = RuntimeConfig(
         max_seq_len=1024, prefill_chunk=512, decode_block=32,
         sampler="greedy", kv_quant=True, quant_bits=4, quant_block=128,
+        lm_head_bits=4,
     )
     llm = Llm.synthetic("qwen2-0.5b", rt=rt)
     ids = list(range(PP))

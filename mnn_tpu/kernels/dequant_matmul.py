@@ -44,7 +44,8 @@ from mnn_tpu.kernels.common import (
 )
 
 
-def _kernel_a8(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, bits, block_size, nb):
+def _kernel_a8(lidx_ref, x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref,
+               *, bits, block_size, nb):
     """W4A8/W8A8: int8 activations x signed-shifted int weights on the MXU.
 
     Weights stored unsigned (w = q*s + m) are re-centered to signed
@@ -52,6 +53,8 @@ def _kernel_a8(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, bits, block_size, 
     pre-folds the shift into the bias plane (b' = 2^(b-1)*s + m). Per-row
     activation scales are applied outside the kernel (rank-1, XLA fuses).
     """
+    del lidx_ref  # consumed by the BlockSpec index maps (layer offset)
+
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -63,20 +66,20 @@ def _kernel_a8(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, bits, block_size, 
     acc = acc_ref[...]
     for kb in range(nb):
         if bits == 4:
-            w32 = w_ref[kb * half : (kb + 1) * half, :].astype(jnp.int32)
+            w32 = w_ref[0, kb * half : (kb + 1) * half, :].astype(jnp.int32)
             lo = (w32 & 0xF) - 8
             hi = ((w32 >> 4) & 0xF) - 8
             q = jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
         else:
-            w32 = w_ref[kb * bs : (kb + 1) * bs, :].astype(jnp.int32)
+            w32 = w_ref[0, kb * bs : (kb + 1) * bs, :].astype(jnp.int32)
             q = ((w32 & 0xFF) - 128).astype(jnp.int8)
         xb = x[:, kb * bs : (kb + 1) * bs]
         part = jax.lax.dot_general(
             xb, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
         )
         rsb = jnp.sum(xb.astype(jnp.int32), axis=1, keepdims=True)
-        acc = acc + part.astype(jnp.float32) * s_ref[kb] \
-            + rsb.astype(jnp.float32) * b_ref[kb]
+        acc = acc + part.astype(jnp.float32) * s_ref[0, kb] \
+            + rsb.astype(jnp.float32) * b_ref[0, kb]
     acc_ref[...] = acc
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -84,7 +87,10 @@ def _kernel_a8(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, bits, block_size, 
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-def _kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, bits, block_size, nb):
+def _kernel(lidx_ref, x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref,
+            *, bits, block_size, nb):
+    del lidx_ref  # consumed by the BlockSpec index maps (layer offset)
+
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -97,12 +103,12 @@ def _kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, bits, block_size, nb)
     acc = acc_ref[...]
     for kb in range(nb):
         if bits == 4:
-            w32 = w_ref[kb * half : (kb + 1) * half, :].astype(jnp.int32)
+            w32 = w_ref[0, kb * half : (kb + 1) * half, :].astype(jnp.int32)
             lo = w32 & 0xF
             hi = (w32 >> 4) & 0xF
             q = jnp.concatenate([lo, hi], axis=0).astype(x.dtype)  # [bs, bn]
         else:
-            w32 = w_ref[kb * bs : (kb + 1) * bs, :].astype(jnp.int32)
+            w32 = w_ref[0, kb * bs : (kb + 1) * bs, :].astype(jnp.int32)
             q = (w32 & 0xFF).astype(x.dtype)
         xb = x[:, kb * bs : (kb + 1) * bs]
         part = jnp.dot(xb, q, preferred_element_type=jnp.float32)
@@ -111,7 +117,7 @@ def _kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, bits, block_size, nb)
             if nb == 1
             else jnp.sum(xb.astype(jnp.float32), axis=1, keepdims=True)
         )
-        acc = acc + part * s_ref[kb] + rsb * b_ref[kb]
+        acc = acc + part * s_ref[0, kb] + rsb * b_ref[0, kb]
     acc_ref[...] = acc
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -159,6 +165,23 @@ def choose_blocks(m: int, k: int, n: int, block_size: int):
     return bm, bn, bk
 
 
+def _slice_layer(ql, layer_index):
+    """Materialize one layer of a [L, ...]-stacked QuantizedLinear (ref path)."""
+    import dataclasses as _dc
+
+    def sl(a):
+        return (
+            None
+            if a is None
+            else jax.lax.dynamic_index_in_dim(a, layer_index, 0, keepdims=False)
+        )
+
+    return _dc.replace(
+        ql, packed=sl(ql.packed), scale=sl(ql.scale), bias=sl(ql.bias),
+        out_bias=sl(ql.out_bias),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("out_dtype", "block_m", "block_n", "block_k", "interpret"),
@@ -167,6 +190,7 @@ def dequant_matmul(
     x: jax.Array,
     ql,
     *,
+    layer_index: Optional[jax.Array] = None,
     out_dtype=jnp.bfloat16,
     block_m: Optional[int] = None,
     block_n: Optional[int] = None,
@@ -174,6 +198,12 @@ def dequant_matmul(
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """y = x @ dequant(ql) (+ out_bias).  x: [..., K] bf16/f32.
+
+    When `layer_index` is given, `ql`'s arrays carry a leading layer axis
+    [L, ...] and the kernel reads layer `layer_index`'s tiles straight from
+    the stacked HBM buffers (BlockSpec offset via scalar prefetch) — the
+    unrolled-decoder path uses this to avoid per-layer weight-slice copies,
+    which otherwise triple decode HBM traffic.
 
     Differentiable w.r.t. x (custom VJP: dx = g @ dequant(W)^T via XLA —
     the quantized weights themselves are frozen, LoRA trains adapters).
@@ -184,6 +214,8 @@ def dequant_matmul(
             quantize_activations_int8,
         )
 
+        if layer_index is not None:
+            ql = _slice_layer(ql, layer_index)
         if ql.act_bits == 8:
             xq, xs = quantize_activations_int8(x)
             x = (xq.astype(jnp.float32) * xs).astype(jnp.bfloat16)
@@ -193,44 +225,66 @@ def dequant_matmul(
 
     x_dtype = x.dtype
 
-    def _impl(x, ql):
+    def _impl(x, ql, lidx):
         return _dequant_matmul_pallas(
-            x, ql, out_dtype=out_dtype, block_m=block_m, block_n=block_n,
+            x, ql, lidx, out_dtype=out_dtype, block_m=block_m, block_n=block_n,
             block_k=block_k, interpret=interpret,
         )
 
     @jax.custom_vjp
-    def _call(x, ql):
-        return _impl(x, ql)
+    def _call(x, ql, lidx):
+        return _impl(x, ql, lidx)
 
-    def _fwd(x, ql):
-        return _impl(x, ql), ql
+    def _fwd(x, ql, lidx):
+        return _impl(x, ql, lidx), (ql, lidx)
 
-    def _bwd(ql_res, g):
+    def _bwd(res, g):
         from mnn_tpu.quant.quantize import dequantize
 
-        w = dequantize(ql_res, dtype=jnp.bfloat16)
+        ql_res, lidx_res = res
+        ql_l = ql_res if lidx_res is None else _slice_layer(ql_res, lidx_res)
+        w = dequantize(ql_l, dtype=jnp.bfloat16)
         dx = jnp.dot(
             g.astype(jnp.bfloat16), w.T, preferred_element_type=jnp.float32
         )
         import numpy as _onp
 
         def _zero_ct(a):
+            if a is None:
+                return None
             if jnp.issubdtype(a.dtype, jnp.floating):
                 return jnp.zeros_like(a)
             return _onp.zeros(a.shape, dtype=jax.dtypes.float0)
 
         ct_ql = jax.tree_util.tree_map(_zero_ct, ql_res)
-        return (dx.astype(x_dtype), ct_ql)
+        ct_lidx = None if lidx_res is None else _zero_ct(lidx_res)
+        return (dx.astype(x_dtype), ct_ql, ct_lidx)
 
     _call.defvjp(_fwd, _bwd)
-    return _call(x, ql)
+    return _call(x, ql, layer_index)
 
 
 def _dequant_matmul_pallas(
-    x, ql, *, out_dtype, block_m, block_n, block_k, interpret
+    x, ql, lidx, *, out_dtype, block_m, block_n, block_k, interpret
 ):
-    k, n = ql.shape
+    stacked = lidx is not None
+    packed, scale, bias = ql.packed, ql.scale, ql.bias
+    out_bias = ql.out_bias
+    if stacked:
+        # packed [L, K//pack, N], scale/bias [L, K//bs, N]
+        if out_bias is not None:
+            out_bias = jax.lax.dynamic_index_in_dim(
+                out_bias, lidx, 0, keepdims=False
+            )
+        k = packed.shape[1] * (2 if ql.bits == 4 else 1)
+        n = packed.shape[2]
+        lidx_arr = jnp.reshape(jnp.asarray(lidx, jnp.int32), (1,))
+    else:
+        k, n = ql.shape
+        packed = packed.reshape(1, *packed.shape)
+        scale = scale.reshape(1, *scale.shape)
+        bias = bias.reshape(1, *bias.shape)
+        lidx_arr = jnp.zeros((1,), jnp.int32)
     bs = ql.block_size
     lead = x.shape[:-1]
     m = 1
@@ -265,26 +319,36 @@ def _dequant_matmul_pallas(
             _kernel_a8, bits=ql.bits, block_size=bs, nb=nb
         )
         center = 1 << (ql.bits - 1)
-        scale_in = ql.scale
-        bias_in = center * ql.scale + ql.bias  # fold signed re-centering
+        scale_in = scale
+        bias_in = center * scale + bias  # fold signed re-centering
     else:
         kernel = functools.partial(
             _kernel, bits=ql.bits, block_size=bs, nb=nb
         )
-        scale_in = ql.scale
-        bias_in = ql.bias
+        scale_in = scale
+        bias_in = bias
+    nl = packed.shape[0]
     out = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
-            pl.BlockSpec((bk // pack, bn), lambda i, j, kk: (kk, j)),
-            pl.BlockSpec((nb, 1, bn), lambda i, j, kk: (kk, 0, j)),
-            pl.BlockSpec((nb, 1, bn), lambda i, j, kk: (kk, 0, j)),
-        ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, kk, L: (i, kk)),
+                pl.BlockSpec(
+                    (1, bk // pack, bn), lambda i, j, kk, L: (L[0], kk, j)
+                ),
+                pl.BlockSpec(
+                    (1, nb, 1, bn), lambda i, j, kk, L: (L[0], kk, 0, j)
+                ),
+                pl.BlockSpec(
+                    (1, nb, 1, bn), lambda i, j, kk, L: (L[0], kk, 0, j)
+                ),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk, L: (i, j)),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        ),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -295,16 +359,17 @@ def _dequant_matmul_pallas(
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(
+        lidx_arr,
         x2,
-        ql.packed,
-        scale_in.reshape(k // bs, 1, n),
-        bias_in.reshape(k // bs, 1, n),
+        packed,
+        scale_in.reshape(nl, k // bs, 1, n),
+        bias_in.reshape(nl, k // bs, 1, n),
     )
 
     out = out[:m]
     if a8:
         # per-row activation scales (rank-1; XLA fuses into the slice/cast)
         out = (out.astype(jnp.float32) * xs).astype(out_dtype)
-    if ql.out_bias is not None:
-        out = (out.astype(jnp.float32) + ql.out_bias).astype(out_dtype)
+    if out_bias is not None:
+        out = (out.astype(jnp.float32) + out_bias).astype(out_dtype)
     return out.reshape(*lead, n)

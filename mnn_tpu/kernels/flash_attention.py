@@ -241,15 +241,17 @@ def flash_attention(
 
 def _decode_kernel(
     lens_ref,   # SMEM [B*Hkv] int32 per-sequence kv length
+    lidx_ref,   # SMEM [1] int32 layer index into stacked KV ([1,...] = 0)
     q_ref,      # [1, gp, d]
-    k_ref,      # [1, bkv, d]  (bf16 or int8)
-    v_ref,      # [1, bkv, d]
-    ks_ref,     # [1, 1, bkv] f32 (or [1, 1, 128] dummy)
+    k_ref,      # [1, 1, bkv, d]  (bf16 or int8; leading layer-block dim)
+    v_ref,      # [1, 1, bkv, d]
+    ks_ref,     # [1, 1, 1, bkv] f32 (or [1, 1, 1, 128] dummy)
     vs_ref,
     o_ref,      # [1, gp, d]
     acc_ref, m_ref, l_ref,
     *, gp, bkv, scale, quantized, window, sink,
 ):
+    del lidx_ref  # consumed by the BlockSpec index maps (layer offset)
     kv_idx = pl.program_id(1)
     kv_start = kv_idx * bkv
     kv_len = lens_ref[pl.program_id(0)]
@@ -263,14 +265,14 @@ def _decode_kernel(
     @pl.when(kv_start < kv_len)
     def _compute():
         q = q_ref[0]  # [gp, d]
-        k = k_ref[0]
+        k = k_ref[0, 0]
         if quantized:
             k = k.astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [gp, bkv]
         if quantized:
-            s = s * ks_ref[0]  # [1, bkv] broadcasts over rows
+            s = s * ks_ref[0, 0]  # [1, bkv] broadcasts over rows
         s = s * scale
 
         col = kv_start + jax.lax.broadcasted_iota(jnp.int32, (gp, bkv), 1)
@@ -286,13 +288,13 @@ def _decode_kernel(
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
         p = jnp.exp(s - m_new[:, :1])
-        pv = p * vs_ref[0] if quantized else p
+        pv = p * vs_ref[0, 0] if quantized else p
         alpha = jnp.exp(m_prev - m_new)
         l_ref[...] = l_ref[...] * alpha + jnp.broadcast_to(
             jnp.sum(p, axis=1, keepdims=True), l_ref.shape
         )
         m_ref[...] = m_new
-        v = v_ref[0]
+        v = v_ref[0, 0]
         if quantized:
             v = v.astype(jnp.bfloat16)
         acc_ref[...] = acc_ref[...] * alpha[:, :1] + jax.lax.dot_general(
@@ -313,22 +315,35 @@ def _decode_kernel(
 )
 def decode_attention(
     q: jax.Array,  # [B, H, D] one query position per sequence
-    k: jax.Array,  # [B, Hkv, S, D] bf16 or int8
+    k: jax.Array,  # [B, Hkv, S, D] bf16 or int8 ([L, B, ...] w/ layer_index)
     v: jax.Array,  # [B, Hkv, S, D]
     kv_len: jax.Array,  # [] or [B] int32
     *,
     k_scale: Optional[jax.Array] = None,  # [B, Hkv, S] f32 when KV int8
     v_scale: Optional[jax.Array] = None,
+    layer_index: Optional[jax.Array] = None,  # k/v/scales stacked [L, ...]
     sm_scale: Optional[float] = None,
     block_kv: int = 512,
     interpret: Optional[bool] = None,
     window: int = 0,
     sink: int = 0,
 ) -> jax.Array:
-    """Single-position GQA attention against a fixed-capacity KV cache."""
+    """Single-position GQA attention against a fixed-capacity KV cache.
+
+    With `layer_index`, the KV (+scale) buffers carry a leading layer axis
+    and the kernel reads layer `layer_index` in place from the stacked HBM
+    cache — the unrolled-decoder path uses this to avoid per-layer cache
+    slice copies (same trick as dequant_matmul's stacked weights).
+    """
     if k.dtype == jnp.int8 and (k_scale is None or v_scale is None):
         raise ValueError("int8 KV cache requires k_scale/v_scale")
     if not use_pallas(interpret):
+        if layer_index is not None:
+            idx = lambda a: (
+                None if a is None
+                else jax.lax.dynamic_index_in_dim(a, layer_index, 0, False)
+            )
+            k, v, k_scale, v_scale = idx(k), idx(v), idx(k_scale), idx(v_scale)
         kv_len_b = jnp.broadcast_to(jnp.asarray(kv_len), (q.shape[0],))
         return attention_xla_ref(
             q[:, :, None], k, v, kv_len=kv_len, causal=False,
@@ -337,8 +352,16 @@ def decode_attention(
         )[:, :, 0]
     if interpret is None:
         interpret = interpret_mode()
+    if layer_index is None:
+        k = k[None]
+        v = v[None]
+        if k_scale is not None:
+            k_scale, v_scale = k_scale[None], v_scale[None]
+        lidx_arr = jnp.zeros((1,), jnp.int32)
+    else:
+        lidx_arr = jnp.reshape(jnp.asarray(layer_index, jnp.int32), (1,))
     b, h, d = q.shape
-    _, hkv, s, _ = k.shape
+    nl, _, hkv, s, _ = k.shape
     group = h // hkv
     gp = round_up(group, 16)
     if sm_scale is None:
@@ -355,8 +378,8 @@ def decode_attention(
     if gp != group:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - group), (0, 0)))
     qg = qg.reshape(b * hkv, gp, d).astype(jnp.bfloat16)
-    k3 = k.reshape(b * hkv, s, d)
-    v3 = v.reshape(b * hkv, s, d)
+    k3 = k.reshape(nl, b * hkv, s, d)
+    v3 = v.reshape(nl, b * hkv, s, d)
 
     kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,))
     lens = jnp.repeat(kv_len, hkv)  # [B*Hkv]
@@ -364,13 +387,17 @@ def decode_attention(
     if quantized:
         if bkv % 128 and bkv != s:
             raise ValueError("int8 KV needs block_kv % 128 == 0 (scale lane dim)")
-        ks = k_scale.reshape(b * hkv, 1, s).astype(jnp.float32)
-        vs = v_scale.reshape(b * hkv, 1, s).astype(jnp.float32)
-        scale_spec = pl.BlockSpec((1, 1, bkv), lambda bh, j, *_: (bh, 0, j))
+        ks = k_scale.reshape(nl, b * hkv, 1, s).astype(jnp.float32)
+        vs = v_scale.reshape(nl, b * hkv, 1, s).astype(jnp.float32)
+        scale_spec = pl.BlockSpec(
+            (1, 1, 1, bkv), lambda bh, j, lens, L: (L[0], bh, 0, j)
+        )
     else:
-        ks = jnp.zeros((b * hkv, 1, 128), jnp.float32)
-        vs = jnp.zeros((b * hkv, 1, 128), jnp.float32)
-        scale_spec = pl.BlockSpec((1, 1, 128), lambda bh, j, *_: (bh, 0, 0))
+        ks = jnp.zeros((1, b * hkv, 1, 128), jnp.float32)
+        vs = jnp.zeros((1, b * hkv, 1, 128), jnp.float32)
+        scale_spec = pl.BlockSpec(
+            (1, 1, 1, 128), lambda bh, j, lens, L: (0, bh, 0, 0)
+        )
 
     kernel = functools.partial(
         _decode_kernel, gp=gp, bkv=bkv, scale=sm_scale, quantized=quantized,
@@ -379,16 +406,22 @@ def decode_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(b * hkv, s // bkv),
             in_specs=[
-                pl.BlockSpec((1, gp, d), lambda bh, j, *_: (bh, 0, 0)),
-                pl.BlockSpec((1, bkv, d), lambda bh, j, *_: (bh, j, 0)),
-                pl.BlockSpec((1, bkv, d), lambda bh, j, *_: (bh, j, 0)),
+                pl.BlockSpec((1, gp, d), lambda bh, j, lens, L: (bh, 0, 0)),
+                pl.BlockSpec(
+                    (1, 1, bkv, d), lambda bh, j, lens, L: (L[0], bh, j, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, bkv, d), lambda bh, j, lens, L: (L[0], bh, j, 0)
+                ),
                 scale_spec,
                 scale_spec,
             ],
-            out_specs=pl.BlockSpec((1, gp, d), lambda bh, j, *_: (bh, 0, 0)),
+            out_specs=pl.BlockSpec(
+                (1, gp, d), lambda bh, j, lens, L: (bh, 0, 0)
+            ),
             scratch_shapes=[
                 pltpu.VMEM((gp, d), jnp.float32),
                 pltpu.VMEM((gp, 128), jnp.float32),
@@ -400,5 +433,5 @@ def decode_attention(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(lens, qg, k3, v3, ks, vs)
+    )(lens, lidx_arr, qg, k3, v3, ks, vs)
     return out.reshape(b, hkv, gp, d)[:, :, :group].reshape(b, h, d)

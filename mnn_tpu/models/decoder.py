@@ -358,10 +358,122 @@ def _attention(
     )
 
 
+def _forward_unrolled(
+    params, c, x, cache, cos, sin, start, kv_len, b, t,
+    *, lora, tp_axis, interpret, qkv_split,
+):
+    """Unrolled layer loop over [L, ...]-stacked weights and KV cache.
+
+    Heavy tensors (quantized weights, KV tiles) are addressed in place by
+    the Pallas kernels' `layer_index` (scalar-prefetch BlockSpec offsets);
+    only O(hidden)-sized per-layer vectors (norms, biases, LoRA adapters)
+    are sliced. The KV cache is updated with in-place
+    dynamic-update-slices on the stacked buffers — no per-layer copies, no
+    re-stacking, which is what makes batch-1 decode HBM-bandwidth-bound
+    rather than copy-bound.
+    """
+    from mnn_tpu.kernels.common import use_pallas
+    from mnn_tpu.kernels.decode_step import fused_decode_attention
+
+    layers = params.layers
+    out_f32 = jnp.float32 if tp_axis else jnp.bfloat16
+    group = c.num_heads // c.num_kv_heads
+
+    fused = t == 1 and use_pallas(interpret)
+    if fused:
+        # full-width rope phases for the fused kernel (neox halves tiled 2x)
+        cos_f = jnp.concatenate([cos[:, 0], cos[:, 0]], axis=-1)  # [B, D]
+        sin_f = jnp.concatenate([sin[:, 0], sin[:, 0]], axis=-1)
+
+    for i in range(c.num_layers):
+        lo = (
+            None if lora is None
+            else jax.tree_util.tree_map(lambda a: a[i], lora)
+        )
+        h = rms_norm(x, layers.input_norm[i], c.rms_norm_eps)
+        qkv = dequant_matmul(
+            h, layers.wqkv, layer_index=i, interpret=interpret
+        )
+        if lo is not None:
+            qkv = _add_lora(qkv, h, lo.a_qkv, lo.b_qkv, lora.scaling)
+
+        if fused:
+            # rope + QK-norm + KV-quantize + attention in one kernel; the
+            # grouped projection layout goes in untouched
+            qkv_g = qkv.reshape(b, c.num_kv_heads, group + 2, c.head_dim)
+            att, k_row, v_row, k_sc, v_sc = fused_decode_attention(
+                qkv_g, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                i, cache.length, cos_f, sin_f,
+                q_norm=layers.q_norm[i] if c.qk_norm else None,
+                k_norm=layers.k_norm[i] if c.qk_norm else None,
+                eps=c.rms_norm_eps, window=c.sliding_window,
+                sink=c.attention_sink,
+            )
+            cache = kvcache.scatter_decode_row(
+                cache, i, k_row, v_row, k_sc, v_sc, cache.length
+            )
+            att = att.reshape(b, t, c.q_dim)
+        else:
+            q, k, v = qkv_split(
+                qkv,
+                layers.q_norm[i] if c.qk_norm else None,
+                layers.k_norm[i] if c.qk_norm else None,
+            )
+            if t == 1:
+                cache = kvcache.append_decode_stacked(
+                    cache, i, k, v, cache.length
+                )
+                att = decode_attention(
+                    q[:, :, 0], cache.k, cache.v, kv_len,
+                    k_scale=cache.k_scale, v_scale=cache.v_scale,
+                    layer_index=i, interpret=interpret,
+                    window=c.sliding_window, sink=c.attention_sink,
+                )[:, :, None]
+            else:
+                cache = kvcache.append_stacked(cache, i, k, v, start)
+                att = _attention(
+                    c, q, cache.k[i], cache.v[i],
+                    None if cache.k_scale is None else cache.k_scale[i],
+                    None if cache.v_scale is None else cache.v_scale[i],
+                    kv_len, start, interpret,
+                )
+            att = att.transpose(0, 2, 1, 3).reshape(b, t, c.q_dim)
+        o = dequant_matmul(
+            att, layers.wo, layer_index=i, interpret=interpret,
+            out_dtype=out_f32,
+        )
+        if lo is not None:
+            o = _add_lora(o, att, lo.a_o, lo.b_o, lora.scaling)
+        if tp_axis:
+            o = jax.lax.psum(o, tp_axis)
+        x = x + o.astype(x.dtype)
+
+        h2 = rms_norm(x, layers.post_norm[i], c.rms_norm_eps)
+        gu = dequant_matmul(
+            h2, layers.wgu, layer_index=i, interpret=interpret
+        )
+        if lo is not None:
+            gu = _add_lora(gu, h2, lo.a_gu, lo.b_gu, lora.scaling)
+        gu = gu.reshape(b, t, gu.shape[-1] // 2, 2)
+        act = swiglu(gu[..., 0], gu[..., 1])
+        d = dequant_matmul(
+            act, layers.wdown, layer_index=i, interpret=interpret,
+            out_dtype=out_f32,
+        )
+        if lo is not None:
+            d = _add_lora(d, act, lo.a_down, lo.b_down, lora.scaling)
+        if tp_axis:
+            d = jax.lax.psum(d, tp_axis)
+        x = x + d.astype(x.dtype)
+
+    new_cache = dataclasses.replace(cache, length=kv_len)
+    return x, new_cache
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("config", "all_logits", "interpret", "tp_axis",
-                     "return_hidden"),
+                     "return_hidden", "layer_scan"),
 )
 def forward(
     params: Params,
@@ -375,10 +487,19 @@ def forward(
     lora: Optional["LoraParams"] = None,
     inputs_embeds: Optional[jax.Array] = None,  # [B, T, hidden] (multimodal)
     return_hidden: bool = False,  # pipeline stages: skip the head
+    layer_scan: Optional[bool] = None,  # None = auto (scan only for MoE)
 ) -> Tuple[jax.Array, KVCache]:
     """Run the model over `tokens`, appending T positions to the cache.
 
     Returns (logits [B, V] or [B, T, V], updated cache).
+
+    Layer iteration has two modes. The default (dense models) unrolls the
+    layer loop and reads each layer's weights and KV tiles IN PLACE from the
+    [L, ...]-stacked HBM buffers (kernel `layer_index` offsets) — a lax.scan
+    over stacked weights would materialize a dynamic-slice copy of every
+    layer's weights every step, which measures as ~3x decode HBM traffic on
+    chip. `layer_scan=True` (forced for MoE, whose expert stacks the scan
+    already streams) keeps the O(1)-compile-time scan body.
 
     Tensor parallelism (inside shard_map): when `tp_axis` names a mesh axis,
     this function sees the LOCAL shard of every weight — attention heads and
@@ -390,6 +511,8 @@ def forward(
     """
     c = config
     b, t = tokens.shape
+    if layer_scan is None:
+        layer_scan = c.is_moe
     if inputs_embeds is not None:
         x = inputs_embeds.astype(params.embedding.dtype)
     else:
@@ -401,6 +524,20 @@ def forward(
 
     q_dim, kv_dim = c.q_dim, c.kv_dim
 
+    def qkv_split(qkv, q_norm, k_norm):
+        g = c.num_heads // c.num_kv_heads
+        qkv = qkv.reshape(b, t, c.num_kv_heads, g + 2, c.head_dim)
+        q = qkv[..., :g, :].reshape(b, t, c.num_heads, c.head_dim)
+        q = q.transpose(0, 2, 1, 3)                 # [B, H, T, D]
+        k = qkv[..., g, :].transpose(0, 2, 1, 3)    # [B, Hkv, T, D]
+        v = qkv[..., g + 1, :].transpose(0, 2, 1, 3)
+        if c.qk_norm:
+            q = rms_norm(q, q_norm, c.rms_norm_eps)
+            k = rms_norm(k, k_norm, c.rms_norm_eps)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        return q, k, v
+
     def layer_step(x, layer):
         if lora is not None:
             lp, k_c, v_c, ks_c, vs_c, lo = layer
@@ -411,17 +548,7 @@ def forward(
         qkv = dequant_matmul(h, lp.wqkv, interpret=interpret)
         if lo is not None:
             qkv = _add_lora(qkv, h, lo.a_qkv, lo.b_qkv, lo.scaling)
-        g = c.num_heads // c.num_kv_heads
-        qkv = qkv.reshape(b, t, c.num_kv_heads, g + 2, c.head_dim)
-        q = qkv[..., :g, :].reshape(b, t, c.num_heads, c.head_dim)
-        q = q.transpose(0, 2, 1, 3)                 # [B, H, T, D]
-        k = qkv[..., g, :].transpose(0, 2, 1, 3)    # [B, Hkv, T, D]
-        v = qkv[..., g + 1, :].transpose(0, 2, 1, 3)
-        if c.qk_norm:
-            q = rms_norm(q, lp.q_norm, c.rms_norm_eps)
-            k = rms_norm(k, lp.k_norm, c.rms_norm_eps)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        q, k, v = qkv_split(qkv, lp.q_norm, lp.k_norm)
 
         if t == 1:
             # decode: each slot writes at its own offset (continuous batching)
@@ -464,18 +591,25 @@ def forward(
         x = x + d.astype(x.dtype)
         return x, (k_c, v_c, ks_c, vs_c)
 
-    def scan_body(x, layer):
-        x, updated = layer_step(x, layer)
-        return x, updated
+    if layer_scan:
+        def scan_body(x, layer):
+            x, updated = layer_step(x, layer)
+            return x, updated
 
-    xs = (params.layers, cache.k, cache.v, cache.k_scale, cache.v_scale)
-    if lora is not None:
-        xs = xs + (lora,)
-    x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(scan_body, x, xs)
+        xs = (params.layers, cache.k, cache.v, cache.k_scale, cache.v_scale)
+        if lora is not None:
+            xs = xs + (lora,)
+        x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(scan_body, x, xs)
+        new_cache = KVCache(
+            k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new, length=kv_len
+        )
+    else:
+        x, new_cache = _forward_unrolled(
+            params, c, x, cache, cos, sin, start, kv_len, b, t,
+            lora=lora, tp_axis=tp_axis, interpret=interpret,
+            qkv_split=qkv_split,
+        )
 
-    new_cache = KVCache(
-        k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new, length=kv_len
-    )
     if return_hidden:
         return x, new_cache
 

@@ -132,6 +132,113 @@ def append_decode_layer(
     return k_cache, v_cache, k_scale, v_scale
 
 
+def append_stacked(
+    cache: KVCache,
+    layer: int,              # static layer index into [L, ...] arrays
+    k_new: jax.Array,        # [B, Hkv, T, D] bf16
+    v_new: jax.Array,
+    start: jax.Array,        # [] int32 write offset (uniform across batch)
+) -> KVCache:
+    """Prefill write of T positions into layer `layer` of the stacked cache.
+
+    Used by the unrolled-decoder path: updating the [L, ...] buffers in
+    place (dynamic_update_slice aliases) instead of scanning sliced
+    per-layer copies keeps decode HBM traffic at 1x the cache size.
+    """
+    zero = jnp.zeros((), jnp.int32)
+    li = jnp.asarray(layer, jnp.int32)
+    if cache.quantized:
+        kq, ks_new = quantize_kv(k_new)
+        vq, vs_new = quantize_kv(v_new)
+        k = jax.lax.dynamic_update_slice(
+            cache.k, kq[None], (li, zero, zero, start, zero))
+        v = jax.lax.dynamic_update_slice(
+            cache.v, vq[None], (li, zero, zero, start, zero))
+        ks = jax.lax.dynamic_update_slice(
+            cache.k_scale, ks_new[None], (li, zero, zero, start))
+        vs = jax.lax.dynamic_update_slice(
+            cache.v_scale, vs_new[None], (li, zero, zero, start))
+        return dataclasses.replace(cache, k=k, v=v, k_scale=ks, v_scale=vs)
+    k = jax.lax.dynamic_update_slice(
+        cache.k, k_new.astype(cache.k.dtype)[None],
+        (li, zero, zero, start, zero))
+    v = jax.lax.dynamic_update_slice(
+        cache.v, v_new.astype(cache.v.dtype)[None],
+        (li, zero, zero, start, zero))
+    return dataclasses.replace(cache, k=k, v=v)
+
+
+def append_decode_stacked(
+    cache: KVCache,
+    layer: int,
+    k_new: jax.Array,        # [B, Hkv, 1, D]
+    v_new: jax.Array,
+    lengths: jax.Array,      # [B] int32 per-slot write offsets
+) -> KVCache:
+    """Decode scatter of one position per sequence into stacked layer `layer`."""
+    b = cache.k.shape[1]
+    s = cache.capacity
+    pos = jnp.clip(lengths, 0, s - 1)
+    b_idx = jnp.arange(b)
+    if cache.quantized:
+        kq, ks_new = quantize_kv(k_new)
+        vq, vs_new = quantize_kv(v_new)
+        k = cache.k.at[layer, b_idx, :, pos].set(kq[:, :, 0])
+        v = cache.v.at[layer, b_idx, :, pos].set(vq[:, :, 0])
+        ks = cache.k_scale.at[layer, b_idx, :, pos].set(ks_new[:, :, 0])
+        vs = cache.v_scale.at[layer, b_idx, :, pos].set(vs_new[:, :, 0])
+        return dataclasses.replace(cache, k=k, v=v, k_scale=ks, v_scale=vs)
+    k = cache.k.at[layer, b_idx, :, pos].set(k_new[:, :, 0].astype(cache.k.dtype))
+    v = cache.v.at[layer, b_idx, :, pos].set(v_new[:, :, 0].astype(cache.v.dtype))
+    return dataclasses.replace(cache, k=k, v=v)
+
+
+def scatter_decode_row(
+    cache: KVCache,
+    layer: int,
+    k_row: jax.Array,        # [B, Hkv, 1, D] already-quantized (or bf16) values
+    v_row: jax.Array,
+    k_sc: Optional[jax.Array],   # [B, Hkv, 1] f32 (quantized cache)
+    v_sc: Optional[jax.Array],
+    lengths: jax.Array,      # [B] int32 per-slot write offsets
+) -> KVCache:
+    """Scatter a PRE-quantized decode row (from the fused decode kernel)
+    into stacked layer `layer` at each sequence's length."""
+    b = cache.k.shape[1]
+    s = cache.capacity
+    pos = jnp.clip(lengths, 0, s - 1)
+    zero = jnp.zeros((), jnp.int32)
+    li = jnp.asarray(layer, jnp.int32)
+    if b == 1:
+        # batch-1 fast path: plain dynamic-update-slices (no batch gather /
+        # select lowering) — this is the hot serving decode case
+        p0 = pos[0]
+        k = jax.lax.dynamic_update_slice(
+            cache.k, k_row.astype(cache.k.dtype)[None],
+            (li, zero, zero, p0, zero))
+        v = jax.lax.dynamic_update_slice(
+            cache.v, v_row.astype(cache.v.dtype)[None],
+            (li, zero, zero, p0, zero))
+        if cache.quantized:
+            ks = jax.lax.dynamic_update_slice(
+                cache.k_scale, k_sc[None], (li, zero, zero, p0))
+            vs = jax.lax.dynamic_update_slice(
+                cache.v_scale, v_sc[None], (li, zero, zero, p0))
+            return dataclasses.replace(
+                cache, k=k, v=v, k_scale=ks, v_scale=vs)
+        return dataclasses.replace(cache, k=k, v=v)
+    b_idx = jnp.arange(b)
+    k = cache.k.at[layer, b_idx, :, pos].set(
+        k_row[:, :, 0].astype(cache.k.dtype))
+    v = cache.v.at[layer, b_idx, :, pos].set(
+        v_row[:, :, 0].astype(cache.v.dtype))
+    if cache.quantized:
+        ks = cache.k_scale.at[layer, b_idx, :, pos].set(k_sc[:, :, 0])
+        vs = cache.v_scale.at[layer, b_idx, :, pos].set(v_sc[:, :, 0])
+        return dataclasses.replace(cache, k=k, v=v, k_scale=ks, v_scale=vs)
+    return dataclasses.replace(cache, k=k, v=v)
+
+
 def rollback(cache: KVCache, n: int | jax.Array) -> KVCache:
     """Drop the last n tokens (reference: KVMeta.remove / Llm::eraseHistory)."""
     return dataclasses.replace(

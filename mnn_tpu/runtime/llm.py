@@ -152,21 +152,37 @@ class Llm:
         self.perf.prefill_s = time.perf_counter() - t0
 
         state = sampler.make_state(rt.max_batch)
-        produced = 0
         t0 = time.perf_counter()
-        while produced < max_new:
-            steps = min(rt.decode_block, max_new - produced)
-            toks, logits, cache, state, self._key = gen.decode_steps(
-                self.params, self.config, cache, logits, state, self._key,
+
+        def dispatch(cache, logits, state, key, steps):
+            return gen.decode_steps(
+                self.params, self.config, cache, logits, state, key,
                 steps=steps, sampler=rt.sampler, temperature=rt.temperature,
                 top_k=rt.top_k, top_p=rt.top_p, min_p=rt.min_p,
                 penalty=rt.penalty,
             )
-            # single host transfer per block (per-token int() would cost one
-            # tunnel round-trip each — observed 30 ms/token)
+
+        # Double-buffered decode: block k+1 is dispatched (async) BEFORE
+        # block k's tokens are pulled to the host, hiding the tunnel/host
+        # round-trip (~tens of ms) behind device compute. The host transfer
+        # itself is one np.asarray per block (per-token int() would cost one
+        # round-trip each — observed 30 ms/token).
+        steps = min(rt.decode_block, max_new)
+        pending = dispatch(cache, logits, state, self._key, steps)
+        pending_steps = steps
+        dispatched = steps
+        produced = 0
+        while True:
+            toks, logits, cache, state, key = pending
+            nxt = nxt_steps = None
+            if dispatched < max_new:
+                nxt_steps = min(rt.decode_block, max_new - dispatched)
+                nxt = dispatch(cache, logits, state, key, nxt_steps)
+                dispatched += nxt_steps
             block = np.asarray(toks[0]).tolist()
-            produced += steps
-            stop = False
+            produced += pending_steps
+            self._key = key
+            stop = produced >= max_new
             for t in block:
                 self.perf.gen_len += 1
                 yield t
@@ -174,8 +190,9 @@ class Llm:
                     stop = True
                     break
             self.perf.decode_s = time.perf_counter() - t0
-            if stop:
+            if stop or nxt is None:
                 break
+            pending, pending_steps = nxt, nxt_steps
         self.cache = cache
 
     def _stream_lookahead(self, token_ids, max_new, eos):
