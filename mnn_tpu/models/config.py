@@ -159,7 +159,7 @@ class RuntimeConfig:
     seed: int = 0
     max_new_tokens: int = 512
     # speculative decoding (reference: speculative_decoding/generate.hpp)
-    speculative: str = "none"      # none | lookahead
+    speculative: str = "none"      # none | lookahead | eagle | mtp
     draft_len: int = 7
     ngram: int = 3
 

@@ -616,6 +616,22 @@ def forward(
     x = rms_norm(x, params.final_norm, c.rms_norm_eps)
     if not all_logits:
         x = x[:, -1]  # logits_index = -1 (reference llm.cpp io names)
+    logits = head_logits(params, x, interpret=interpret, tp_axis=tp_axis)
+    return logits, new_cache
+
+
+def head_logits(
+    params: Params,
+    x: jax.Array,             # [..., hidden] already final-norm'd
+    *,
+    interpret: Optional[bool] = None,
+    tp_axis: Optional[str] = None,
+) -> jax.Array:
+    """Project hidden states through the (possibly quantized) lm head.
+
+    Factored out of `forward` so draft models (EAGLE / MTP heads, reference:
+    transformers/llm/engine/src/speculative_decoding/generate.hpp:29-105)
+    can reuse the target's output head on their own hidden states."""
     if isinstance(params.lm_head, QuantizedLinear):
         logits = dequant_matmul(
             x, params.lm_head, out_dtype=jnp.float32, interpret=interpret
@@ -629,5 +645,4 @@ def forward(
     if tp_axis and params.lm_head is not None:
         # vocab-sharded head: gather the full logit row for sampling
         logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
-
-    return logits, new_cache
+    return logits

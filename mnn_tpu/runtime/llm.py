@@ -143,6 +143,9 @@ class Llm:
         if rt.speculative == "lookahead" and rt.sampler == "greedy":
             yield from self._stream_lookahead(token_ids, max_new, eos)
             return
+        if rt.speculative in ("eagle", "mtp") and rt.sampler == "greedy":
+            yield from self._stream_draft(token_ids, max_new, eos)
+            return
 
         t0 = time.perf_counter()
         logits, cache = gen.run_prefill(
@@ -203,6 +206,49 @@ class Llm:
         for block in lookahead_generate(
             self, token_ids, max_new,
             ngram=self.rt.ngram, draft_len=self.rt.draft_len,
+        ):
+            if first:
+                self.perf.prefill_s = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                first = False
+            for t in block:
+                self.perf.gen_len += 1
+                yield t
+                if t in eos:
+                    self.perf.decode_s = time.perf_counter() - t0
+                    return
+            self.perf.decode_s = time.perf_counter() - t0
+
+    def _make_drafter(self):
+        """Build the draft model for rt.speculative (reference: Mtp/Eagle
+        generation load extra draft modules, generate.hpp:29-105). With no
+        draft checkpoint configured, heads are random-init — still LOSSLESS
+        (verification guarantees AR-identical output), just low acceptance."""
+        from mnn_tpu.models import eagle as eagle_mod
+        from mnn_tpu.runtime.speculative import EagleDraft, MtpDraft
+
+        key = jax.random.PRNGKey(self.rt.seed + 1)
+        if self.rt.speculative == "eagle":
+            ep = eagle_mod.init_random_eagle(
+                self.config, key, bits=self.rt.quant_bits,
+                block_size=self.rt.quant_block,
+            )
+            return EagleDraft(ep, draft_len=self.rt.draft_len,
+                              capacity=self.rt.max_seq_len)
+        heads = eagle_mod.init_random_mtp(
+            self.config, key, num_heads=self.rt.draft_len
+        )
+        return MtpDraft(heads)
+
+    def _stream_draft(self, token_ids, max_new, eos):
+        from mnn_tpu.runtime.speculative import draft_generate
+
+        if getattr(self, "drafter", None) is None:
+            self.drafter = self._make_drafter()
+        t0 = time.perf_counter()
+        first = True
+        for block in draft_generate(
+            self, token_ids, max_new, drafter=self.drafter
         ):
             if first:
                 self.perf.prefill_s = time.perf_counter() - t0
