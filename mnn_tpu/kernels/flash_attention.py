@@ -239,19 +239,30 @@ def flash_attention(
 # ---------------------------------------------------------------------------
 
 
+def _unpack_nibbles(t, axis):
+    """int8 [.., n] -> bf16 [.., 2n]: byte j holds dims (j, j + n) — the
+    pairing defined by kvcache.quantize_kv4 / quantize.pack_int4, which
+    makes in-kernel unpack one lane/sublane concat instead of a shuffle."""
+    t32 = t.astype(jnp.int32)
+    lo = (t32 & 0xF) - 8
+    hi = ((t32 >> 4) & 0xF) - 8
+    return jnp.concatenate([lo, hi], axis=axis).astype(jnp.bfloat16)
+
+
 def _decode_kernel(
     lens_ref,   # SMEM [B*Hkv] int32 per-sequence kv length
     lidx_ref,   # SMEM [1] int32 layer index into stacked KV ([1,...] = 0)
     q_ref,      # [1, gp, d]
-    k_ref,      # [1, 1, bkv, d]  (bf16 or int8; leading layer-block dim)
+    k_ref,      # [1, 1, bkv, d]  (bf16/int8; d//2 when int4-packed)
     v_ref,      # [1, 1, bkv, d]
     ks_ref,     # [1, 1, 1, bkv] f32 (or [1, 1, 1, 128] dummy)
     vs_ref,
     o_ref,      # [1, gp, d]
     acc_ref, m_ref, l_ref,
-    *, gp, bkv, scale, quantized, window, sink,
+    *, gp, bkv, scale, kv_bits, window, sink,
 ):
     del lidx_ref  # consumed by the BlockSpec index maps (layer offset)
+    quantized = kv_bits < 16
     kv_idx = pl.program_id(1)
     kv_start = kv_idx * bkv
     kv_len = lens_ref[pl.program_id(0)]
@@ -265,9 +276,12 @@ def _decode_kernel(
     @pl.when(kv_start < kv_len)
     def _compute():
         q = q_ref[0]  # [gp, d]
-        k = k_ref[0, 0]
-        if quantized:
-            k = k.astype(jnp.bfloat16)
+        if kv_bits == 4:
+            k = _unpack_nibbles(k_ref[0, 0], axis=1)
+        elif kv_bits == 8:
+            k = k_ref[0, 0].astype(jnp.bfloat16)
+        else:
+            k = k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [gp, bkv]
@@ -294,9 +308,12 @@ def _decode_kernel(
             jnp.sum(p, axis=1, keepdims=True), l_ref.shape
         )
         m_ref[...] = m_new
-        v = v_ref[0, 0]
-        if quantized:
-            v = v.astype(jnp.bfloat16)
+        if kv_bits == 4:
+            v = _unpack_nibbles(v_ref[0, 0], axis=1)
+        elif kv_bits == 8:
+            v = v_ref[0, 0].astype(jnp.bfloat16)
+        else:
+            v = v_ref[0, 0]
         acc_ref[...] = acc_ref[...] * alpha[:, :1] + jax.lax.dot_general(
             pv.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -330,13 +347,21 @@ def decode_attention(
 ) -> jax.Array:
     """Single-position GQA attention against a fixed-capacity KV cache.
 
-    With `layer_index`, the KV (+scale) buffers carry a leading layer axis
-    and the kernel reads layer `layer_index` in place from the stacked HBM
-    cache — the unrolled-decoder path uses this to avoid per-layer cache
-    slice copies (same trick as dequant_matmul's stacked weights).
+    KV may be bf16, int8, or int4 (nibble-packed along the head dim —
+    detected by k.shape[-1] == D//2; the reference's TQ4 sub-byte KV analog,
+    CPUKVCacheManager.hpp:20). With `layer_index`, the KV (+scale) buffers
+    carry a leading layer axis and the kernel reads layer `layer_index` in
+    place from the stacked HBM cache — the unrolled-decoder path uses this
+    to avoid per-layer cache slice copies (same trick as dequant_matmul's
+    stacked weights).
     """
-    if k.dtype == jnp.int8 and (k_scale is None or v_scale is None):
-        raise ValueError("int8 KV cache requires k_scale/v_scale")
+    d_q = q.shape[-1]
+    if k.dtype == jnp.int8:
+        kv_bits = 4 if k.shape[-1] * 2 == d_q else 8
+    else:
+        kv_bits = 16
+    if kv_bits < 16 and (k_scale is None or v_scale is None):
+        raise ValueError("quantized KV cache requires k_scale/v_scale")
     if not use_pallas(interpret):
         if layer_index is not None:
             idx = lambda a: (
@@ -344,6 +369,10 @@ def decode_attention(
                 else jax.lax.dynamic_index_in_dim(a, layer_index, 0, False)
             )
             k, v, k_scale, v_scale = idx(k), idx(v), idx(k_scale), idx(v_scale)
+        if kv_bits == 4:
+            from mnn_tpu.runtime.kvcache import unpack_kv4
+
+            k, v = unpack_kv4(k), unpack_kv4(v)
         kv_len_b = jnp.broadcast_to(jnp.asarray(kv_len), (q.shape[0],))
         return attention_xla_ref(
             q[:, :, None], k, v, kv_len=kv_len, causal=False,
@@ -361,14 +390,12 @@ def decode_attention(
     else:
         lidx_arr = jnp.reshape(jnp.asarray(layer_index, jnp.int32), (1,))
     b, h, d = q.shape
-    nl, _, hkv, s, _ = k.shape
+    nl, _, hkv, s, d_store = k.shape
     group = h // hkv
     gp = round_up(group, 16)
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
-    quantized = k.dtype == jnp.int8
-    if quantized and (k_scale is None or v_scale is None):
-        raise ValueError("int8 KV cache requires k_scale/v_scale")
+    quantized = kv_bits < 16
 
     bkv = min(block_kv, s)
     if s % bkv:
@@ -378,8 +405,8 @@ def decode_attention(
     if gp != group:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - group), (0, 0)))
     qg = qg.reshape(b * hkv, gp, d).astype(jnp.bfloat16)
-    k3 = k.reshape(nl, b * hkv, s, d)
-    v3 = v.reshape(nl, b * hkv, s, d)
+    k3 = k.reshape(nl, b * hkv, s, d_store)
+    v3 = v.reshape(nl, b * hkv, s, d_store)
 
     kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,))
     lens = jnp.repeat(kv_len, hkv)  # [B*Hkv]
@@ -400,7 +427,7 @@ def decode_attention(
         )
 
     kernel = functools.partial(
-        _decode_kernel, gp=gp, bkv=bkv, scale=sm_scale, quantized=quantized,
+        _decode_kernel, gp=gp, bkv=bkv, scale=sm_scale, kv_bits=kv_bits,
         window=window, sink=sink,
     )
     out = pl.pallas_call(
@@ -411,10 +438,10 @@ def decode_attention(
             in_specs=[
                 pl.BlockSpec((1, gp, d), lambda bh, j, lens, L: (bh, 0, 0)),
                 pl.BlockSpec(
-                    (1, 1, bkv, d), lambda bh, j, lens, L: (L[0], bh, j, 0)
+                    (1, 1, bkv, d_store), lambda bh, j, lens, L: (L[0], bh, j, 0)
                 ),
                 pl.BlockSpec(
-                    (1, 1, bkv, d), lambda bh, j, lens, L: (L[0], bh, j, 0)
+                    (1, 1, bkv, d_store), lambda bh, j, lens, L: (L[0], bh, j, 0)
                 ),
                 scale_spec,
                 scale_spec,

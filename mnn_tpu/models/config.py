@@ -142,7 +142,8 @@ class RuntimeConfig:
     lm_head_bits: int = 0          # quantized output projection (0 = bf16;
                                    # int8 halves head HBM but costs VPU casts
                                    # — wins only when HBM-capacity-bound)
-    kv_quant: bool = True          # attention mode int8-KV (MNN KVCacheInfo)
+    kv_quant: bool = True          # attention mode quantized-KV (MNN KVCacheInfo)
+    kv_bits: int = 8               # 8 = int8 KV; 4 = packed int4 (TQ4 analog)
     max_seq_len: int = 4096        # kvcache capacity per sequence
     max_batch: int = 1
     prefill_chunk: int = 512       # chunked prefill (MNN `chunk`)

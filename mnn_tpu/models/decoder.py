@@ -336,6 +336,7 @@ def _attention(
     kv_len: jax.Array,        # [B] valid length AFTER append
     start: jax.Array,         # [] write offset (= length before append)
     interpret: Optional[bool],
+    bits: int = 8,
 ):
     b, h, t, d = q.shape
     if t == 1:
@@ -348,8 +349,8 @@ def _attention(
         # Prefill reads freshly appended bf16 K/V via their dequantized form:
         # dequantize the whole cache window once (prefill is compute-bound,
         # and XLA fuses the dequant into the attention input pipeline).
-        kf = k_cache.astype(jnp.bfloat16) * k_scale[..., None].astype(jnp.bfloat16)
-        vf = v_cache.astype(jnp.bfloat16) * v_scale[..., None].astype(jnp.bfloat16)
+        kf = kvcache.dequant_kv(k_cache, k_scale, bits)
+        vf = kvcache.dequant_kv(v_cache, v_scale, bits)
     else:
         kf, vf = k_cache, v_cache
     return flash_attention(
@@ -379,7 +380,7 @@ def _forward_unrolled(
     out_f32 = jnp.float32 if tp_axis else jnp.bfloat16
     group = c.num_heads // c.num_kv_heads
 
-    fused = t == 1 and use_pallas(interpret)
+    fused = t == 1 and use_pallas(interpret) and cache.bits != 4
     if fused:
         # full-width rope phases for the fused kernel (neox halves tiled 2x)
         cos_f = jnp.concatenate([cos[:, 0], cos[:, 0]], axis=-1)  # [B, D]
@@ -435,7 +436,7 @@ def _forward_unrolled(
                     c, q, cache.k[i], cache.v[i],
                     None if cache.k_scale is None else cache.k_scale[i],
                     None if cache.v_scale is None else cache.v_scale[i],
-                    kv_len, start, interpret,
+                    kv_len, start, interpret, bits=cache.bits,
                 )
             att = att.transpose(0, 2, 1, 3).reshape(b, t, c.q_dim)
         o = dequant_matmul(
@@ -553,13 +554,14 @@ def forward(
         if t == 1:
             # decode: each slot writes at its own offset (continuous batching)
             k_c, v_c, ks_c, vs_c = kvcache.append_decode_layer(
-                k_c, v_c, ks_c, vs_c, k, v, cache.length
+                k_c, v_c, ks_c, vs_c, k, v, cache.length, bits=cache.bits
             )
         else:
             k_c, v_c, ks_c, vs_c = kvcache.append_layer(
-                k_c, v_c, ks_c, vs_c, k, v, start
+                k_c, v_c, ks_c, vs_c, k, v, start, bits=cache.bits
             )
-        att = _attention(c, q, k_c, v_c, ks_c, vs_c, kv_len, start, interpret)
+        att = _attention(c, q, k_c, v_c, ks_c, vs_c, kv_len, start, interpret,
+                         bits=cache.bits)
         att = att.transpose(0, 2, 1, 3).reshape(b, t, q_dim)
         o = dequant_matmul(
             att, lp.wo, interpret=interpret,
@@ -601,7 +603,8 @@ def forward(
             xs = xs + (lora,)
         x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(scan_body, x, xs)
         new_cache = KVCache(
-            k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new, length=kv_len
+            k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new, length=kv_len,
+            bits=cache.bits,
         )
     else:
         x, new_cache = _forward_unrolled(

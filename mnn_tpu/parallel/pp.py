@@ -43,11 +43,11 @@ def _stage_specs(params: Params) -> Params:
     )
 
 
-def cache_specs_pp(quantized: bool) -> KVCache:
+def cache_specs_pp(quantized: bool, bits: int = 8) -> KVCache:
     data = P("pp", None, None, None, None)
     scale = P("pp", None, None, None) if quantized else None
     return KVCache(k=data, v=data, k_scale=scale, v_scale=scale,
-                   length=P(None))
+                   length=P(None), bits=bits if quantized else 16)
 
 
 def make_pp_forward(config: ModelConfig, mesh: Mesh, quantized_kv: bool,
@@ -123,7 +123,7 @@ def shard_params_pp(params: Params, mesh: Mesh) -> Params:
 
 
 def shard_cache_pp(cache: KVCache, mesh: Mesh) -> KVCache:
-    specs = cache_specs_pp(cache.quantized)
+    specs = cache_specs_pp(cache.quantized, cache.bits)
     return jax.tree_util.tree_map(
         lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), cache, specs
     )

@@ -120,12 +120,12 @@ def param_specs(config: ModelConfig, params: Params) -> Params:
     )
 
 
-def cache_specs(quantized: bool) -> KVCache:
+def cache_specs(quantized: bool, bits: int = 8) -> KVCache:
     """[L, B, Hkv, S, D]: batch over dp, kv heads over tp."""
     data = P(None, "dp", "tp", None, None)
     scale = P(None, "dp", "tp", None) if quantized else None
     return KVCache(k=data, v=data, k_scale=scale, v_scale=scale,
-                   length=P("dp"))
+                   length=P("dp"), bits=bits if quantized else 16)
 
 
 def local_config(config: ModelConfig, tp: int) -> ModelConfig:
@@ -159,7 +159,7 @@ def shard_params(params: Params, config: ModelConfig, mesh: Mesh) -> Params:
 
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
-    specs = cache_specs(cache.quantized)
+    specs = cache_specs(cache.quantized, cache.bits)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
     )

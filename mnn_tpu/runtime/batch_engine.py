@@ -89,6 +89,7 @@ def _prefill_into_slot(
         k_scale=None if cache.k_scale is None else sl(cache.k_scale),
         v_scale=None if cache.v_scale is None else sl(cache.v_scale),
         length=jax.lax.dynamic_slice_in_dim(cache.length, slot, 1),
+        bits=cache.bits,
     )
     logits, sub = forward(params, config, tokens, sub, all_logits=need_logits)
     if need_logits:
@@ -103,6 +104,7 @@ def _prefill_into_slot(
         k_scale=None if cache.k_scale is None else up(cache.k_scale, sub.k_scale),
         v_scale=None if cache.v_scale is None else up(cache.v_scale, sub.v_scale),
         length=jax.lax.dynamic_update_slice(cache.length, sub.length, (slot,)),
+        bits=cache.bits,
     )
     return logits, new
 
@@ -180,7 +182,7 @@ class BatchEngine:
         b = rt.max_batch
         self.cache = kvcache.create(
             config.num_layers, b, config.num_kv_heads, rt.max_seq_len,
-            config.head_dim, quantized=rt.kv_quant,
+            config.head_dim, quantized=rt.kv_quant, kv_bits=rt.kv_bits,
         )
         self.state = sampler.make_state(b)
         self.key = jax.random.PRNGKey(rt.seed)

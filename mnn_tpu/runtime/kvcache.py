@@ -26,11 +26,16 @@ import jax.numpy as jnp
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    k: jax.Array             # [L, B, Hkv, S, D] int8 or bf16
+    k: jax.Array             # [L, B, Hkv, S, D] bf16/int8, or [.., D//2] int4-packed
     v: jax.Array             # [L, B, Hkv, S, D]
     k_scale: Optional[jax.Array]  # [L, B, Hkv, S] f32 when quantized
     v_scale: Optional[jax.Array]
     length: jax.Array        # [B] int32 valid prefix length
+    # storage precision: 16 = bf16, 8 = int8, 4 = packed nibbles (two head
+    # dims per byte, pairing (j, j + D/2) so in-kernel unpack is one lane
+    # concat — the TPU analog of the reference's TQ4 sub-byte KV,
+    # CPUKVCacheManager.hpp:20 / compute/TurboQuant.hpp)
+    bits: int = dataclasses.field(metadata=dict(static=True), default=16)
 
     @property
     def capacity(self) -> int:
@@ -38,7 +43,7 @@ class KVCache:
 
     @property
     def quantized(self) -> bool:
-        return self.k.dtype == jnp.int8
+        return self.bits < 16
 
 
 def create(
@@ -49,8 +54,11 @@ def create(
     head_dim: int,
     quantized: bool = True,
     dtype=jnp.bfloat16,
+    kv_bits: int = 8,
 ) -> KVCache:
-    shape = (num_layers, batch, num_kv_heads, capacity, head_dim)
+    bits = kv_bits if quantized else 16
+    d_store = head_dim // 2 if bits == 4 else head_dim
+    shape = (num_layers, batch, num_kv_heads, capacity, d_store)
     if quantized:
         k = jnp.zeros(shape, jnp.int8)
         v = jnp.zeros(shape, jnp.int8)
@@ -61,7 +69,7 @@ def create(
         v = jnp.zeros(shape, dtype)
         ks = vs = None
     return KVCache(k=k, v=v, k_scale=ks, v_scale=vs,
-                   length=jnp.zeros((batch,), jnp.int32))
+                   length=jnp.zeros((batch,), jnp.int32), bits=bits)
 
 
 def quantize_kv(x: jax.Array):
@@ -74,6 +82,45 @@ def quantize_kv(x: jax.Array):
     return q, scale
 
 
+def quantize_kv4(x: jax.Array):
+    """Per-(token, head) int4: x [..., D] -> (packed [..., D//2] int8, scale).
+
+    Byte j packs dims (j, j + D/2): low nibble = q[j] + 8, high = q[j+D/2] + 8
+    (unsigned storage) — unpacking is `concat(lo - 8, hi - 8)` on the lane
+    axis, the same pairing trick as the int4 weight kernel."""
+    d = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 7.0)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -8, 7) + 8  # [0, 15]
+    q = q.astype(jnp.int32)
+    packed = q[..., : d // 2] | (q[..., d // 2 :] << 4)
+    packed = jnp.where(packed > 127, packed - 256, packed).astype(jnp.int8)
+    return packed, scale
+
+
+def unpack_kv4(packed: jax.Array) -> jax.Array:
+    """[..., D//2] int8 -> signed int values [..., D] f32 (scale NOT applied)."""
+    p32 = packed.astype(jnp.int32)
+    lo = (p32 & 0xF) - 8
+    hi = ((p32 >> 4) & 0xF) - 8
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+
+
+def dequant_kv(cache_vals: jax.Array, scale: jax.Array, bits: int,
+               dtype=jnp.bfloat16) -> jax.Array:
+    """Dequantize a KV buffer slice back to floats (prefill / ref paths)."""
+    if bits == 16:
+        return cache_vals.astype(dtype)
+    if bits == 4:
+        return (unpack_kv4(cache_vals) * scale[..., None]).astype(dtype)
+    return (cache_vals.astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
+def _quantize_for(bits: int, x: jax.Array):
+    return quantize_kv4(x) if bits == 4 else quantize_kv(x)
+
+
 def append_layer(
     k_cache: jax.Array,      # [B, Hkv, S, D] (one layer)
     v_cache: jax.Array,
@@ -82,12 +129,13 @@ def append_layer(
     k_new: jax.Array,        # [B, Hkv, T, D] bf16
     v_new: jax.Array,
     start: jax.Array,        # [] int32 write offset (uniform across batch)
+    bits: int = 8,
 ):
     """Write T new positions at `start`. Returns updated (k, v, ks, vs)."""
     quantized = k_cache.dtype == jnp.int8
     if quantized:
-        kq, ks_new = quantize_kv(k_new)
-        vq, vs_new = quantize_kv(v_new)
+        kq, ks_new = _quantize_for(bits, k_new)
+        vq, vs_new = _quantize_for(bits, v_new)
         k_cache = jax.lax.dynamic_update_slice(k_cache, kq, (0, 0, start, 0))
         v_cache = jax.lax.dynamic_update_slice(v_cache, vq, (0, 0, start, 0))
         k_scale = jax.lax.dynamic_update_slice(k_scale, ks_new, (0, 0, start))
@@ -110,6 +158,7 @@ def append_decode_layer(
     k_new: jax.Array,        # [B, Hkv, 1, D]
     v_new: jax.Array,
     lengths: jax.Array,      # [B] int32 per-slot write offsets
+    bits: int = 8,
 ):
     """Scatter one position per sequence at its own offset (continuous
     batching: slots decode at different context lengths). Offsets are
@@ -120,8 +169,8 @@ def append_decode_layer(
     b_idx = jnp.arange(b)
     quantized = k_cache.dtype == jnp.int8
     if quantized:
-        kq, ks_new = quantize_kv(k_new)
-        vq, vs_new = quantize_kv(v_new)
+        kq, ks_new = _quantize_for(bits, k_new)
+        vq, vs_new = _quantize_for(bits, v_new)
         k_cache = k_cache.at[b_idx, :, pos].set(kq[:, :, 0])
         v_cache = v_cache.at[b_idx, :, pos].set(vq[:, :, 0])
         k_scale = k_scale.at[b_idx, :, pos].set(ks_new[:, :, 0])
@@ -148,8 +197,8 @@ def append_stacked(
     zero = jnp.zeros((), jnp.int32)
     li = jnp.asarray(layer, jnp.int32)
     if cache.quantized:
-        kq, ks_new = quantize_kv(k_new)
-        vq, vs_new = quantize_kv(v_new)
+        kq, ks_new = _quantize_for(cache.bits, k_new)
+        vq, vs_new = _quantize_for(cache.bits, v_new)
         k = jax.lax.dynamic_update_slice(
             cache.k, kq[None], (li, zero, zero, start, zero))
         v = jax.lax.dynamic_update_slice(
@@ -181,8 +230,8 @@ def append_decode_stacked(
     pos = jnp.clip(lengths, 0, s - 1)
     b_idx = jnp.arange(b)
     if cache.quantized:
-        kq, ks_new = quantize_kv(k_new)
-        vq, vs_new = quantize_kv(v_new)
+        kq, ks_new = _quantize_for(cache.bits, k_new)
+        vq, vs_new = _quantize_for(cache.bits, v_new)
         k = cache.k.at[layer, b_idx, :, pos].set(kq[:, :, 0])
         v = cache.v.at[layer, b_idx, :, pos].set(vq[:, :, 0])
         ks = cache.k_scale.at[layer, b_idx, :, pos].set(ks_new[:, :, 0])

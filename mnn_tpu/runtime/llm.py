@@ -98,7 +98,7 @@ class Llm:
         return kvcache.create(
             self.config.num_layers, self.rt.max_batch, self.config.num_kv_heads,
             self.rt.max_seq_len, self.config.head_dim,
-            quantized=self.rt.kv_quant,
+            quantized=self.rt.kv_quant, kv_bits=self.rt.kv_bits,
         )
 
     # -- KV-cache control (reference: setKVCacheInfo / eraseHistory) -------

@@ -38,6 +38,7 @@ def save_prefix(path: str, cache: KVCache, token_ids: List[int],
         "k": k, "v": v,
         "kv_dtype": np.asarray(k_dt),
         "quantized": np.asarray(cache.quantized),
+        "bits": np.asarray(cache.bits),
     }
     if cache.quantized:
         data["k_scale"] = np.asarray(cache.k_scale[:, slot, :, :n])
@@ -59,6 +60,10 @@ def load_prefix(path: str, cache: KVCache, slot: int = 0
         raise ValueError(f"prefix length {n} exceeds capacity {cache.capacity}")
     if bool(z["quantized"]) != cache.quantized:
         raise ValueError("prefix cache quantization mode mismatch")
+    saved_bits = int(z["bits"]) if "bits" in z else (8 if cache.quantized else 16)
+    if saved_bits != cache.bits:
+        raise ValueError(
+            f"prefix cache kv bits mismatch: saved {saved_bits}, cache {cache.bits}")
     kv_np_k, kv_np_v = z["k"], z["v"]
     if str(z.get("kv_dtype", "")) == "bfloat16":
         kv_np_k = jnp.asarray(kv_np_k).view(jnp.bfloat16)
@@ -70,5 +75,6 @@ def load_prefix(path: str, cache: KVCache, slot: int = 0
         ks = ks.at[:, slot, :, :n].set(jnp.asarray(z["k_scale"]))
         vs = vs.at[:, slot, :, :n].set(jnp.asarray(z["v_scale"]))
     length = cache.length.at[slot].set(n)
-    new = KVCache(k=k, v=v, k_scale=ks, v_scale=vs, length=length)
+    new = KVCache(k=k, v=v, k_scale=ks, v_scale=vs, length=length,
+                  bits=cache.bits)
     return new, [int(t) for t in z["tokens"]]
