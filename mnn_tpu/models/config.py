@@ -36,6 +36,12 @@ class ModelConfig:
     # long-context handling (reference CPUAttention sliding window + sink)
     sliding_window: int = 0        # 0 = full attention
     attention_sink: int = 0        # always-visible prefix positions
+    # Hadamard-rotate Q/K/V per head dim before the (quantized) KV cache —
+    # the WHT half of the reference's TurboQuant TQ3/TQ4
+    # (source/backend/cpu/compute/TurboQuant.hpp:5-24). Scores are exactly
+    # invariant (H orthonormal); quantization error drops because rotation
+    # flattens per-channel outliers. Attention output is un-rotated.
+    kv_rotate: bool = False
     # MoE (0 experts = dense). Mirrors qwen2/3-moe HF config fields.
     num_experts: int = 0
     num_experts_per_tok: int = 2
@@ -144,6 +150,7 @@ class RuntimeConfig:
                                    # — wins only when HBM-capacity-bound)
     kv_quant: bool = True          # attention mode quantized-KV (MNN KVCacheInfo)
     kv_bits: int = 8               # 8 = int8 KV; 4 = packed int4 (TQ4 analog)
+    kv_rotate: bool = False        # Hadamard-rotate KV before quantization
     max_seq_len: int = 4096        # kvcache capacity per sequence
     max_batch: int = 1
     prefill_chunk: int = 512       # chunked prefill (MNN `chunk`)

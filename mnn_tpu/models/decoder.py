@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from mnn_tpu.kernels.dequant_matmul import dequant_matmul
 from mnn_tpu.kernels.flash_attention import decode_attention, flash_attention
 from mnn_tpu.models.config import ModelConfig
-from mnn_tpu.models.layers import apply_rope, rms_norm, rope_cos_sin, swiglu
+from mnn_tpu.models.layers import (apply_rope, rms_norm, rope_cos_sin,
+                                   rotate_heads, swiglu)
 from mnn_tpu.quant.quantize import QuantizedLinear, quantize
 from mnn_tpu.runtime import kvcache
 from mnn_tpu.runtime.kvcache import KVCache
@@ -380,7 +381,8 @@ def _forward_unrolled(
     out_f32 = jnp.float32 if tp_axis else jnp.bfloat16
     group = c.num_heads // c.num_kv_heads
 
-    fused = t == 1 and use_pallas(interpret) and cache.bits != 4
+    fused = (t == 1 and use_pallas(interpret) and cache.bits != 4
+             and not c.kv_rotate)
     if fused:
         # full-width rope phases for the fused kernel (neox halves tiled 2x)
         cos_f = jnp.concatenate([cos[:, 0], cos[:, 0]], axis=-1)  # [B, D]
@@ -438,6 +440,8 @@ def _forward_unrolled(
                     None if cache.v_scale is None else cache.v_scale[i],
                     kv_len, start, interpret, bits=cache.bits,
                 )
+            if c.kv_rotate:
+                att = rotate_heads(att, inverse=True)
             att = att.transpose(0, 2, 1, 3).reshape(b, t, c.q_dim)
         o = dequant_matmul(
             att, layers.wo, layer_index=i, interpret=interpret,
@@ -537,6 +541,9 @@ def forward(
             k = rms_norm(k, k_norm, c.rms_norm_eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+        if c.kv_rotate:
+            # TurboQuant-style WHT: scores invariant, outliers flattened
+            q, k, v = rotate_heads(q), rotate_heads(k), rotate_heads(v)
         return q, k, v
 
     def layer_step(x, layer):
@@ -562,6 +569,8 @@ def forward(
             )
         att = _attention(c, q, k_c, v_c, ks_c, vs_c, kv_len, start, interpret,
                          bits=cache.bits)
+        if c.kv_rotate:
+            att = rotate_heads(att, inverse=True)
         att = att.transpose(0, 2, 1, 3).reshape(b, t, q_dim)
         o = dequant_matmul(
             att, lp.wo, interpret=interpret,

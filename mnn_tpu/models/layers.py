@@ -40,3 +40,40 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 def swiglu(gate: jax.Array, up: jax.Array) -> jax.Array:
     return jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def hadamard(d: int):
+    """Orthonormal Hadamard matrix [d, d] f32 (Sylvester; d power of 2).
+
+    The rotation used for KV-cache quantization (TurboQuant's WHT,
+    /root/reference/source/backend/cpu/compute/TurboQuant.hpp:5-24):
+    H @ H.T = I, entries +-1/sqrt(d) — flattens per-channel outliers so a
+    4/8-bit per-token grid covers the mass evenly.
+
+    Returns a NUMPY array on purpose: caching a jax array would capture a
+    tracer when the first call happens inside a jit trace, leaking it into
+    every later trace.
+    """
+    import numpy as _np
+
+    if d & (d - 1):
+        raise ValueError(f"hadamard requires power-of-2 dim, got {d}")
+    h = _np.ones((1, 1), _np.float32)
+    while h.shape[0] < d:
+        h = _np.block([[h, h], [h, -h]])
+    return h / _np.sqrt(d)
+
+
+def rotate_heads(x: jax.Array, inverse: bool = False) -> jax.Array:
+    """Rotate the head dim of x [..., D] by the orthonormal Hadamard."""
+    h = hadamard(x.shape[-1])
+    if inverse:
+        h = h.T
+    return jnp.dot(
+        x.astype(jnp.float32), jnp.asarray(h),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)

@@ -59,9 +59,11 @@ class Llm:
         rt: Optional[RuntimeConfig] = None,
         tokenizer=None,
     ):
+        self.rt = rt or RuntimeConfig()
+        if self.rt.kv_rotate and not config.kv_rotate:
+            config = dataclasses.replace(config, kv_rotate=True)
         self.config = config
         self.params = params
-        self.rt = rt or RuntimeConfig()
         self.tokenizer = tokenizer or load_tokenizer(None)
         self.cache = self._new_cache()
         self.perf = PerfContext()
