@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mnn_tpu.models.config import ModelConfig, RuntimeConfig
+from mnn_tpu.models.layers import interleave_gate_up
 from mnn_tpu.models.decoder import LayerParams, Params
 from mnn_tpu.quant.quantize import choose_block_size, quantize
 
@@ -141,21 +142,21 @@ def convert_hf(
                 wg = get(ep + "gate_proj.weight").T
                 wu = get(ep + "up_proj.weight").T
                 wgu_expert_mats.append(
-                    np.stack([wg, wu], axis=-1).reshape(hidden, -1))
+                    interleave_gate_up(wg, wu))
                 wdown_expert_mats.append(get(ep + "down_proj.weight").T)
             if c.shared_expert_intermediate_size:
                 sp = p + "mlp.shared_expert."
                 wg = get(sp + "gate_proj.weight").T
                 wu = get(sp + "up_proj.weight").T
                 wgu_shared_mats.append(
-                    np.stack([wg, wu], axis=-1).reshape(hidden, -1))
+                    interleave_gate_up(wg, wu))
                 wdown_shared_mats.append(get(sp + "down_proj.weight").T)
                 shared_gates.append(
                     get(p + "mlp.shared_expert_gate.weight")[0])  # [H]
         else:
             wg = get(p + "mlp.gate_proj.weight").T  # [H, inter]
             wu = get(p + "mlp.up_proj.weight").T
-            wgu_mats.append(np.stack([wg, wu], axis=-1).reshape(hidden, -1))
+            wgu_mats.append(interleave_gate_up(wg, wu))
             wdown_mats.append(get(p + "mlp.down_proj.weight").T)  # [inter, H]
 
         in_norms.append(get(p + "input_layernorm.weight"))

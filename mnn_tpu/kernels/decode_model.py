@@ -1,0 +1,690 @@
+"""Whole-model fused decode step: every layer of the decoder in ONE Pallas
+kernel (a persistent "megakernel").
+
+Why: batch-1 decode is a pure weight-streaming problem — the activation is a
+single [B, hidden] vector while every weight byte is read once per token.
+The per-layer path costs ~96 kernel launches plus ~490us/step of XLA glue
+(reshapes, norms, residual adds, cache scatters — measured on chip, see
+git history); at that scale the glue is half the token time. The reference
+collapses the same structure into single Executions per op and a tight
+interpreter loop (/root/reference/source/core/Pipeline.cpp:1167-1211); the
+TPU-native end point of that idea is one kernel for the whole forward pass.
+
+Design:
+* grid = (num_layers, P) executed sequentially. P phases per layer:
+    p = 0                qkv projection (+ input RMSNorm + rope + KV quant
+                         + online-softmax seed with the new token)
+    p = 1 .. nkv         flash attention over the layer's KV cache tiles
+    p = 1 + nkv          output projection + residual add
+    p = 2 + nkv ..       gate/up projection chunks (+ SwiGLU into an
+                         activation scratch)
+    p = 2 + nkv + n_gu.. down projection chunks (+ residual add)
+* The residual stream x lives in a VMEM scratch for the entire kernel: zero
+  HBM round-trips for activations, norms, or residuals.
+* Weights stream through Pallas's revolving buffers. Index maps are STAGED:
+  each operand's index only changes on the step before its phase needs it,
+  so its DMA overlaps the previous phase's compute instead of piling up at
+  the layer boundary.
+* Weights stay int4/int8-packed in HBM; dequantization uses the same
+  per-block algebra as kernels/dequant_matmul.py (dot on the quantized
+  pattern, scale/bias applied to [M, bn] partial products).
+* Attention replicates kernels/decode_step.py: the new token's K/V is
+  quantized in-kernel, seeds the softmax from VMEM (bit-matching a cache
+  readback), and the quantized rows + scales are emitted as [L, ...]-stacked
+  outputs — the caller scatters ALL layers with 4 dynamic-update-slices
+  (vs 4 per layer unfused).
+
+Reference parity: this one kernel covers what MNN runs as the decode-side
+CPUAttention + quantized GEMV asm + CPURoPE/CPULayerNorm executions chained
+by the Session interpreter (SURVEY.md §2.4, §3.3 hot loop).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mnn_tpu.kernels.common import largest_divisor_leq, round_up
+
+NEG_INF = -1e30
+
+
+def supports(config, params, cache, batch: int) -> bool:
+    """Static eligibility of the megakernel for this (config, cache, batch)."""
+    c = config
+    if c.is_moe or c.kv_rotate:
+        return False
+    if cache.bits not in (8, 16):
+        return False
+    if batch > 8:
+        return False
+    if c.head_dim not in (64, 128):
+        return False
+    lay = params.layers
+    if lay.wgu is None or lay.wdown is None:
+        return False
+    for ql in (lay.wqkv, lay.wo, lay.wgu, lay.wdown):
+        if ql.act_bits != 16 or ql.bits not in (4, 8):
+            return False
+        if ql.out_bias is not None and ql is not lay.wqkv:
+            return False
+    if lay.wo.block_size != lay.wqkv.block_size:
+        return False
+    if lay.wgu.block_size != lay.wqkv.block_size:
+        return False
+    if cache.capacity % min(512, cache.capacity) != 0:
+        return False
+    # MLP chunking must tile exactly
+    bs_i = lay.wdown.block_size
+    two_i = 2 * c.intermediate_size
+    bn_gu = largest_divisor_leq(two_i, 4992, 128)
+    bk_dn = largest_divisor_leq(c.intermediate_size, 2560, bs_i)
+    if two_i % bn_gu or c.intermediate_size % bk_dn:
+        return False
+    bs_h = lay.wqkv.block_size
+    if c.hidden_size % bs_h or c.q_dim % bs_h or c.intermediate_size % bs_i:
+        return False
+    if bk_dn % bs_i:
+        return False
+    return True
+
+
+def _dequant_block(w_ref_slice, bits, dtype=jnp.bfloat16):
+    """Unpack one quant block's packed rows -> [bs, bn] pattern matrix."""
+    w32 = w_ref_slice.astype(jnp.int32)
+    if bits == 4:
+        lo = w32 & 0xF
+        hi = (w32 >> 4) & 0xF
+        return jnp.concatenate([lo, hi], axis=0).astype(dtype)
+    return (w32 & 0xFF).astype(dtype)
+
+
+def _qmatmul(x_f32, w_ref, s_ref, b_ref, *, bits, bs, k):
+    """x @ dequant(W) with per-block scale/bias on partial products.
+
+    x_f32: [M, k] f32 value; w_ref block [1, k//pack, bn]; s/b [1, nb, 1, bn].
+    Returns [M, bn] f32.
+    """
+    nb = k // bs
+    half = bs // 2
+    x = x_f32.astype(jnp.bfloat16)
+    acc = None
+    for kb in range(nb):
+        if bits == 4:
+            q = _dequant_block(w_ref[0, kb * half:(kb + 1) * half, :], bits)
+        else:
+            q = _dequant_block(w_ref[0, kb * bs:(kb + 1) * bs, :], bits)
+        xb = x[:, kb * bs:(kb + 1) * bs]
+        part = jnp.dot(xb, q, preferred_element_type=jnp.float32)
+        rsb = jnp.sum(x_f32[:, kb * bs:(kb + 1) * bs], axis=1, keepdims=True)
+        term = part * s_ref[0, kb] + rsb * b_ref[0, kb]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _rms(x, w, eps):
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(var + eps) * w
+
+
+def _rope_full(x, cos, sin):
+    """Neox rotation with FULL-width (tiled-twice) cos/sin rows [1, D]."""
+    d2 = x.shape[-1] // 2
+    rot = jnp.concatenate([-x[:, d2:], x[:, :d2]], axis=-1)
+    return x * cos + rot * sin
+
+
+def _kernel(
+    # scalar prefetch
+    lens_ref,      # SMEM [B8] int32 pre-append lengths (padded rows = 0)
+    # operands
+    x_ref,         # [B8, H] f32 embedding-residual input
+    cs_ref,        # [B8, 2, D] f32 full-width (cos; sin)
+    wqkv_ref, sq_ref, bq_ref, qkvb_ref,   # qkv packed/scale/bias/out-bias
+    wo_ref, so_ref, bo_ref,
+    wgu_ref, sg_ref, bg_ref,
+    wdn_ref, sd_ref, bd_ref,
+    innorm_ref, postnorm_ref,             # [1, 1, H] f32
+    qkn_ref,                              # [1, 2, D] f32 (q_norm; k_norm)
+    k_ref, v_ref,                         # [1, BH, bkv, D] int8/bf16
+    ks_ref, vs_ref,                       # [1, BH, 1, bkv] f32 (quantized)
+    # outputs
+    xo_ref,        # [B8, H] f32
+    krow_ref, vrow_ref,                   # [1, BH, 8, D] f32
+    kvsc_ref,                             # [1, BH, 8, 128] f32 rows 0/1
+    # scratch
+    x_scr,         # [B8, H] f32 residual stream
+    rn2_scr,       # [B8, H] f32 post-attention norm (MLP input)
+    q_scr,         # [BH, GP, D] f32 roped queries
+    m_scr, l_scr,  # [BH, GP, 128] f32
+    accA_scr,      # [BH, GP, D] f32 attention accumulator
+    att_scr,       # [B8, DQ] f32 flattened attention output
+    act_scr,       # [B8, I] f32 SwiGLU activations
+    dn_scr,        # [B8, H] f32 down-proj accumulator
+    *,
+    b, hkv, g, gp, d, h, nq, dq,
+    bkv, nkv, n_gu, bn_gu, n_dn, bk_dn,
+    bits, bs_h, bs_i, has_qkv_bias, use_qk_norm,
+    scale, eps, quantized, window, sink,
+):
+    l = pl.program_id(0)
+    p = pl.program_id(1)
+    nl = pl.num_programs(0)
+    WO = 1 + nkv
+    GU0 = 2 + nkv
+    DN0 = GU0 + n_gu
+
+    # ---- p == 0: load x (layer 0), input norm, qkv projection, rope,
+    # ---- KV-quantize, softmax seed ----------------------------------------
+    @pl.when(p == 0)
+    def _qkv_phase():
+        @pl.when(l == 0)
+        def _():
+            x_scr[...] = x_ref[...]
+        x = x_scr[...]
+        rn = _rms(x, innorm_ref[0, 0], eps)
+        qkv = _qmatmul(rn, wqkv_ref, sq_ref, bq_ref, bits=bits, bs=bs_h, k=h)
+        if has_qkv_bias:
+            qkv = qkv + qkvb_ref[0, 0]
+
+        # per (batch, kv-head): extract rows, rope, qk-norm, quantize, seed
+        for bi in range(b):
+            cos = cs_ref[bi, 0:1]
+            sin = cs_ref[bi, 1:2]
+            # Mosaic concat requires identical vreg offsets: normalize the
+            # batch row to sublane 0 (roll over sublanes), and pre-roll a
+            # 64-lane-shifted copy so every D-wide slice below starts at a
+            # 128-aligned lane (offset 0) regardless of D=64 parity.
+            b8 = qkv.shape[0]
+            qrow = pltpu.roll(qkv, (b8 - bi) % b8, 0)[0:1, :]
+            qrow_s = pltpu.roll(qrow, nq - d, 1) if d % 128 else None
+            for hi in range(hkv):
+                bh = bi * hkv + hi
+                off = hi * (g + 2) * d
+
+                def lane_slice(start):
+                    if start % 128 == 0 or qrow_s is None:
+                        return qrow[:, start:start + d]
+                    return qrow_s[:, start - d:start]
+
+                rows = jnp.concatenate(
+                    [lane_slice(off + r * d) for r in range(g + 2)], axis=0)
+                q = rows[:g]
+                kr = rows[g:g + 1]
+                vr = rows[g + 1:g + 2]
+                if use_qk_norm:
+                    q = _rms(q, qkn_ref[0, 0:1], eps)
+                    kr = _rms(kr, qkn_ref[0, 1:2], eps)
+                q = _rope_full(q, cos, sin)
+                kr = _rope_full(kr, cos, sin)
+                if gp != g:
+                    q = jnp.pad(q, ((0, gp - g), (0, 0)))
+                q_scr[bh] = q
+
+                if quantized:
+                    kabs = jnp.max(jnp.abs(kr))
+                    vabs = jnp.max(jnp.abs(vr))
+                    ksc = jnp.where(kabs == 0, 1.0, kabs / 127.0)
+                    vsc = jnp.where(vabs == 0, 1.0, vabs / 127.0)
+                    kq = jnp.clip(jnp.round(kr / ksc), -127, 127)
+                    vq = jnp.clip(jnp.round(vr / vsc), -127, 127)
+                    k_att = kq * ksc
+                    v_att = vq * vsc
+                    rowid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                    kvsc_ref[0, bh] = jnp.where(
+                        rowid == 0, ksc, jnp.where(rowid == 1, vsc, 1.0))
+                else:
+                    kq = kr.astype(jnp.bfloat16).astype(jnp.float32)
+                    vq = vr.astype(jnp.bfloat16).astype(jnp.float32)
+                    k_att = kq
+                    v_att = vq
+                krow_ref[0, bh] = jnp.broadcast_to(kq, (8, d))
+                vrow_ref[0, bh] = jnp.broadcast_to(vq, (8, d))
+
+                s_new = (q @ k_att.T) * scale           # [GP, 1]
+                m_scr[bh] = jnp.broadcast_to(s_new, (gp, 128))
+                l_scr[bh] = jnp.ones((gp, 128), jnp.float32)
+                accA_scr[bh] = jnp.broadcast_to(v_att, (gp, d))
+
+    # ---- p in [1, nkv]: attention over cache tiles -------------------------
+    @pl.when(jnp.logical_and(p >= 1, p <= nkv))
+    def _att_phase():
+        j = p - 1
+        kv_start = j * bkv
+        for bi in range(b):
+            len_old = lens_ref[bi]
+
+            @pl.when(kv_start < len_old)
+            def _():
+                for hi in range(hkv):
+                    bh = bi * hkv + hi
+                    q = q_scr[bh]
+                    kt = k_ref[0, bh].astype(jnp.float32)
+                    s = jax.lax.dot_general(
+                        q, kt, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [GP, bkv]
+                    if quantized:
+                        s = s * ks_ref[0, bh]
+                    s = s * scale
+                    col = kv_start + jax.lax.broadcasted_iota(
+                        jnp.int32, (gp, bkv), 1)
+                    mask = col < len_old
+                    if window:
+                        in_w = col > len_old - window
+                        if sink:
+                            in_w = jnp.logical_or(in_w, col < sink)
+                        mask = jnp.logical_and(mask, in_w)
+                    s = jnp.where(mask, s, NEG_INF)
+
+                    m_prev = m_scr[bh]
+                    m_cur = jnp.max(s, axis=1, keepdims=True)
+                    m_new = jnp.maximum(
+                        m_prev, jnp.broadcast_to(m_cur, (gp, 128)))
+                    pr = jnp.exp(s - m_new[:, :1])
+                    pv = pr * vs_ref[0, bh] if quantized else pr
+                    alpha = jnp.exp(m_prev - m_new)
+                    l_scr[bh] = l_scr[bh] * alpha + jnp.broadcast_to(
+                        jnp.sum(pr, axis=1, keepdims=True), (gp, 128))
+                    m_scr[bh] = m_new
+                    vt = v_ref[0, bh].astype(jnp.float32)
+                    accA_scr[bh] = accA_scr[bh] * alpha[:, :1] + (
+                        jax.lax.dot_general(
+                            pv, vt, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ))
+
+        # finalize on the last tile: flatten [G, D] heads into att rows.
+        # Build each batch row as one full-width [1, DQ] value (repeat the
+        # 64-lane head row across DQ, mask to its block, accumulate) so the
+        # scr store is full-width — no unaligned sub-row stores, and every
+        # addend is offset-0 (sublane-normalizing roll before the slice).
+        @pl.when(p == nkv)
+        def _fin():
+            colblk = jax.lax.broadcasted_iota(jnp.int32, (1, dq), 1) // d
+            for bi in range(b):
+                row = jnp.zeros((1, dq), jnp.float32)
+                for hi in range(hkv):
+                    bh = bi * hkv + hi
+                    ln = l_scr[bh][:, :1]
+                    ln = jnp.where(ln == 0.0, 1.0, ln)
+                    o = accA_scr[bh] / ln               # [GP, D]
+                    for r in range(g):
+                        piece = pltpu.roll(o, (gp - r) % gp, 0)[0:1, :]
+                        tiled = pltpu.repeat(piece, dq // d, 1)
+                        row = row + jnp.where(colblk == hi * g + r, tiled, 0.0)
+                att_scr[bi:bi + 1, :] = row
+
+    # ---- p == 1 + nkv: output projection + residual ------------------------
+    @pl.when(p == WO)
+    def _wo_phase():
+        att = att_scr[...]
+        o = _qmatmul(att, wo_ref, so_ref, bo_ref, bits=bits, bs=bs_h, k=dq)
+        x = x_scr[...] + o
+        # round through bf16 to match the unfused path's residual dtype
+        x = x.astype(jnp.bfloat16).astype(jnp.float32)
+        x_scr[...] = x
+        rn2_scr[...] = _rms(x, postnorm_ref[0, 0], eps)
+
+    # ---- gate/up chunks + SwiGLU -------------------------------------------
+    # wgu columns are 64-block gate/up interleaved (layers.GU_BLOCK): split
+    # with aligned lane slices — Mosaic has no strided slice / pair reshape.
+    for c_gu in range(n_gu):
+        @pl.when(p == GU0 + c_gu)
+        def _gu_phase(c_gu=c_gu):
+            rn2 = rn2_scr[...]
+            part = _qmatmul(rn2, wgu_ref, sg_ref, bg_ref,
+                            bits=bits, bs=bs_h, k=h)      # [B8, bn_gu]
+            # 64-lane-shifted copy so 'up' slices start 128-aligned too
+            part_s = pltpu.roll(part, bn_gu - 64, 1)
+            gate = jnp.concatenate(
+                [part[:, kb * 128:kb * 128 + 64]
+                 for kb in range(bn_gu // 128)], axis=1)
+            up = jnp.concatenate(
+                [part_s[:, kb * 128:kb * 128 + 64]
+                 for kb in range(bn_gu // 128)], axis=1)
+            act = gate * jax.lax.logistic(gate) * up
+            act_scr[:, c_gu * (bn_gu // 2):(c_gu + 1) * (bn_gu // 2)] = act
+
+    # ---- down-proj chunks + residual ---------------------------------------
+    for c_dn in range(n_dn):
+        @pl.when(p == DN0 + c_dn)
+        def _dn_phase(c_dn=c_dn):
+            act = act_scr[:, c_dn * bk_dn:(c_dn + 1) * bk_dn]
+            term = _qmatmul(act, wdn_ref, sd_ref, bd_ref,
+                            bits=bits, bs=bs_i, k=bk_dn)
+            if c_dn == 0:
+                dn_scr[...] = term
+            else:
+                dn_scr[...] = dn_scr[...] + term
+
+            if c_dn == n_dn - 1:
+                x = x_scr[...] + dn_scr[...]
+                x = x.astype(jnp.bfloat16).astype(jnp.float32)
+                x_scr[...] = x
+
+                @pl.when(l == nl - 1)
+                def _():
+                    xo_ref[...] = x
+
+
+def fused_decode_model(
+    x: jax.Array,              # [B, H] f32/bf16 embedding output
+    layers,                    # LayerParams ([L, ...]-stacked)
+    k_cache: jax.Array,        # [L, B, Hkv, S, D] int8/bf16
+    v_cache: jax.Array,
+    k_scale: Optional[jax.Array],   # [L, B, Hkv, S] f32
+    v_scale: Optional[jax.Array],
+    lengths: jax.Array,        # [B] int32 pre-append lengths
+    cos: jax.Array,            # [B, D] f32 FULL-width rope phases
+    sin: jax.Array,
+    *,
+    config,
+    block_kv: int = 512,
+    interpret: bool = False,
+):
+    """Run all decoder layers for one decode position in one kernel.
+
+    Returns (x_out [B, H] f32, k_rows [L, B, Hkv, 1, D] f32,
+    v_rows, k_sc [L, B, Hkv, 1] | None, v_sc): the caller scatters the rows
+    into the cache at each sequence's length.
+    """
+    c = config
+    b = x.shape[0]
+    h = c.hidden_size
+    d = c.head_dim
+    hkv = c.num_kv_heads
+    g = c.num_heads // c.num_kv_heads
+    gp = round_up(g, 8)
+    nq = (c.num_heads + 2 * hkv) * d
+    dq = c.q_dim
+    i_dim = c.intermediate_size
+    nl = c.num_layers
+    s = k_cache.shape[3]
+    quantized = k_cache.dtype == jnp.int8
+    bits = layers.wqkv.bits
+    bs_h = layers.wqkv.block_size
+    bs_i = layers.wdown.block_size
+    if layers.wo.block_size != bs_h or layers.wgu.block_size != bs_h:
+        raise ValueError("megakernel requires uniform hidden-dim block size")
+    sm_scale = 1.0 / (d ** 0.5)
+
+    bkv = min(block_kv, s)
+    if s % bkv:
+        raise ValueError(f"cache capacity {s} % block_kv {bkv} != 0")
+    nkv = s // bkv
+
+    # MLP chunking (all multiples of 128 dividing the dimension)
+    two_i = 2 * i_dim
+    # chunks must span whole 64-block gate/up pairs -> multiples of 128
+    bn_gu = largest_divisor_leq(two_i, 4992, 128)
+    n_gu = two_i // bn_gu
+    bk_dn = largest_divisor_leq(i_dim, 2560, bs_i)
+    n_dn = i_dim // bk_dn
+
+    WO = 1 + nkv
+    GU0 = 2 + nkv
+    DN0 = GU0 + n_gu
+    P = DN0 + n_dn
+
+    b8 = 8
+    xp = jnp.zeros((b8, h), jnp.float32).at[:b].set(x.astype(jnp.float32))
+    lens = jnp.zeros((b8,), jnp.int32).at[:b].set(
+        jnp.asarray(lengths, jnp.int32))
+    cs = jnp.zeros((b8, 2, d), jnp.float32)
+    cs = cs.at[:b, 0].set(jnp.concatenate([cos, cos], axis=-1)[:, :d]
+                          if cos.shape[-1] * 2 == d else cos)
+    cs = cs.at[:b, 1].set(jnp.concatenate([sin, sin], axis=-1)[:, :d]
+                          if sin.shape[-1] * 2 == d else sin)
+
+    lay = layers
+    has_qkv_bias = lay.wqkv.out_bias is not None
+    use_qk_norm = c.qk_norm
+
+    nb_h = h // bs_h
+    nb_gu = nb_h
+    nb_dn_blk = bk_dn // bs_i
+    nb_o = dq // bs_h
+    pack = 2 if bits == 4 else 1
+
+    # reshape scale/bias planes to [L, nb, 1, N]
+    def plane(a, k_dim, bs):
+        return a.reshape(nl, k_dim // bs, 1, a.shape[-1])
+
+    sq = plane(lay.wqkv.scale, h, bs_h)
+    bq = plane(lay.wqkv.bias, h, bs_h)
+    so = plane(lay.wo.scale, dq, bs_h)
+    bo = plane(lay.wo.bias, dq, bs_h)
+    sg = plane(lay.wgu.scale, h, bs_h)
+    bg = plane(lay.wgu.bias, h, bs_h)
+    sd = plane(lay.wdown.scale, i_dim, bs_i)
+    bd = plane(lay.wdown.bias, i_dim, bs_i)
+    if has_qkv_bias:
+        qkvb = lay.wqkv.out_bias.reshape(nl, 1, nq)
+    else:
+        qkvb = jnp.zeros((1, 1, nq), jnp.float32)
+    innorm = lay.input_norm.reshape(nl, 1, h).astype(jnp.float32)
+    postnorm = lay.post_norm.reshape(nl, 1, h).astype(jnp.float32)
+    if use_qk_norm:
+        qkn = jnp.stack(
+            [lay.q_norm, lay.k_norm], axis=1).astype(jnp.float32)  # [L, 2, D]
+    else:
+        qkn = jnp.ones((1, 2, d), jnp.float32)
+
+    k4 = k_cache.reshape(nl, b * hkv, s, d)
+    v4 = v_cache.reshape(nl, b * hkv, s, d)
+    if quantized:
+        ks4 = k_scale.reshape(nl, b * hkv, 1, s).astype(jnp.float32)
+        vs4 = v_scale.reshape(nl, b * hkv, 1, s).astype(jnp.float32)
+    else:
+        ks4 = jnp.zeros((1, b * hkv, 1, 128), jnp.float32)
+        vs4 = jnp.zeros((1, b * hkv, 1, 128), jnp.float32)
+
+    # ---- staged index maps (fetch one step before the consuming phase) ----
+    def at_qkv(l_, p_, L):          # needed at p=0; flat per layer
+        return (l_, 0, 0)
+
+    def at_qkv_sc(l_, p_, L):
+        return (l_, 0, 0, 0)
+
+    def at_qkvb(l_, p_, L):
+        return (l_ if has_qkv_bias else 0, 0, 0)
+
+    def at_wo(l_, p_, L):           # needed at p=WO
+        lw = jnp.where(p_ >= WO, l_, jnp.maximum(l_ - 1, 0))
+        return (lw, 0, 0)
+
+    def at_wo_sc(l_, p_, L):
+        lw = jnp.where(p_ >= WO, l_, jnp.maximum(l_ - 1, 0))
+        return (lw, 0, 0, 0)
+
+    def gu_chunk(l_, p_):
+        in_phase = jnp.logical_and(p_ >= GU0, p_ < GU0 + n_gu)
+        lw = jnp.where(p_ >= GU0, l_, jnp.maximum(l_ - 1, 0))
+        ch = jnp.where(in_phase, jnp.maximum(p_ - GU0, 0), n_gu - 1)
+        return lw, ch
+
+    def at_gu(l_, p_, L):
+        lw, ch = gu_chunk(l_, p_)
+        return (lw, 0, ch)
+
+    def at_gu_sc(l_, p_, L):
+        lw, ch = gu_chunk(l_, p_)
+        return (lw, 0, 0, ch)
+
+    def dn_chunk(l_, p_):
+        in_phase = p_ >= DN0
+        lw = jnp.where(in_phase, l_, jnp.maximum(l_ - 1, 0))
+        ch = jnp.where(in_phase, jnp.maximum(p_ - DN0, 0), n_dn - 1)
+        return lw, ch
+
+    def at_dn(l_, p_, L):
+        lw, ch = dn_chunk(l_, p_)
+        return (lw, ch, 0)
+
+    def at_dn_sc(l_, p_, L):
+        lw, ch = dn_chunk(l_, p_)
+        return (lw, ch, 0, 0)
+
+    def kv_tile(l_, p_):
+        in_phase = jnp.logical_and(p_ >= 1, p_ <= nkv)
+        lw = jnp.where(p_ >= 1, l_, jnp.maximum(l_ - 1, 0))
+        t = jnp.where(in_phase, jnp.maximum(p_ - 1, 0), nkv - 1)
+        return lw, t
+
+    def at_kv(l_, p_, L):
+        lw, t = kv_tile(l_, p_)
+        return (lw, 0, t, 0)
+
+    def at_kv_sc(l_, p_, L):
+        lw, t = kv_tile(l_, p_)
+        return ((lw, 0, 0, t) if quantized else (0, 0, 0, 0))
+
+    def at_norm(l_, p_, L):
+        return (l_, 0, 0)
+
+    def at_qkn(l_, p_, L):
+        return (l_ if use_qk_norm else 0, 0, 0)
+
+    def const2(l_, p_, L):
+        return (0, 0)
+
+    def const3(l_, p_, L):
+        return (0, 0, 0)
+
+    kernel = functools.partial(
+        _kernel,
+        b=b, hkv=hkv, g=g, gp=gp, d=d, h=h, nq=nq,
+        dq=dq, bkv=bkv, nkv=nkv, n_gu=n_gu, bn_gu=bn_gu, n_dn=n_dn,
+        bk_dn=bk_dn, bits=bits, bs_h=bs_h, bs_i=bs_i,
+        has_qkv_bias=has_qkv_bias, use_qk_norm=use_qk_norm,
+        scale=sm_scale, eps=c.rms_norm_eps, quantized=quantized,
+        window=c.sliding_window, sink=c.attention_sink,
+    )
+
+    in_specs = [
+        pl.BlockSpec((b8, h), const2),                      # x
+        pl.BlockSpec((b8, 2, d), const3),                   # cos/sin
+        pl.BlockSpec((1, h // pack, nq), at_qkv),           # wqkv
+        pl.BlockSpec((1, nb_h, 1, nq), at_qkv_sc),          # sq
+        pl.BlockSpec((1, nb_h, 1, nq), at_qkv_sc),          # bq
+        pl.BlockSpec((1, 1, nq), at_qkvb),                  # qkv out-bias
+        pl.BlockSpec((1, dq // pack, h), at_wo),            # wo
+        pl.BlockSpec((1, nb_o, 1, h), at_wo_sc),            # so
+        pl.BlockSpec((1, nb_o, 1, h), at_wo_sc),            # bo
+        pl.BlockSpec((1, h // pack, bn_gu), at_gu),         # wgu chunk
+        pl.BlockSpec((1, nb_gu, 1, bn_gu), at_gu_sc),       # sg
+        pl.BlockSpec((1, nb_gu, 1, bn_gu), at_gu_sc),       # bg
+        pl.BlockSpec((1, bk_dn // pack, h), at_dn),         # wdown chunk
+        pl.BlockSpec((1, nb_dn_blk, 1, h), at_dn_sc),       # sd
+        pl.BlockSpec((1, nb_dn_blk, 1, h), at_dn_sc),       # bd
+        pl.BlockSpec((1, 1, h), at_norm),                   # input_norm
+        pl.BlockSpec((1, 1, h), at_norm),                   # post_norm
+        pl.BlockSpec((1, 2, d), at_qkn),                    # qk norms
+        pl.BlockSpec((1, b * hkv, bkv, d), at_kv),          # k tile
+        pl.BlockSpec((1, b * hkv, bkv, d), at_kv),          # v tile
+        pl.BlockSpec(
+            (1, b * hkv, 1, bkv if quantized else 128), at_kv_sc),
+        pl.BlockSpec(
+            (1, b * hkv, 1, bkv if quantized else 128), at_kv_sc),
+    ]
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b8, h), jnp.float32),
+        jax.ShapeDtypeStruct((nl, b * hkv, 8, d), jnp.float32),
+        jax.ShapeDtypeStruct((nl, b * hkv, 8, d), jnp.float32),
+        jax.ShapeDtypeStruct((nl, b * hkv, 8, 128), jnp.float32),
+    ]
+    row_spec = pl.BlockSpec((1, b * hkv, 8, d), lambda l_, p_, L: (l_, 0, 0, 0))
+    out_specs = [
+        pl.BlockSpec((b8, h), const2),
+        row_spec, row_spec,
+        pl.BlockSpec((1, b * hkv, 8, 128), lambda l_, p_, L: (l_, 0, 0, 0)),
+    ]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nl, P),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((b8, h), jnp.float32),          # x
+                pltpu.VMEM((b8, h), jnp.float32),          # rn2
+                pltpu.VMEM((b * hkv, gp, d), jnp.float32),  # q
+                pltpu.VMEM((b * hkv, gp, 128), jnp.float32),  # m
+                pltpu.VMEM((b * hkv, gp, 128), jnp.float32),  # l
+                pltpu.VMEM((b * hkv, gp, d), jnp.float32),  # acc
+                pltpu.VMEM((b8, dq), jnp.float32),         # att
+                pltpu.VMEM((b8, i_dim), jnp.float32),      # act
+                pltpu.VMEM((b8, h), jnp.float32),          # dn acc
+            ],
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nl * (h * nq + dq * h + h * two_i + i_dim * h),
+            bytes_accessed=nl * (h * nq + dq * h + h * two_i + i_dim * h)
+            // pack + nl * 2 * b * hkv * s * d,
+            transcendentals=nl * b * hkv * s,
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(
+        lens, xp, cs,
+        lay.wqkv.packed, sq, bq, qkvb,
+        lay.wo.packed, so, bo,
+        lay.wgu.packed, sg, bg,
+        lay.wdown.packed, sd, bd,
+        innorm, postnorm, qkn,
+        k4, v4, ks4, vs4,
+    )
+
+    x_out = outs[0][:b]
+    k_rows = outs[1][:, :, 0].reshape(nl, b, hkv, 1, d)
+    v_rows = outs[2][:, :, 0].reshape(nl, b, hkv, 1, d)
+    if quantized:
+        k_sc = outs[3][:, :, 0, 0].reshape(nl, b, hkv, 1)
+        v_sc = outs[3][:, :, 1, 0].reshape(nl, b, hkv, 1)
+        return x_out, k_rows, v_rows, k_sc, v_sc
+    return x_out, k_rows, v_rows, None, None
+
+
+def scatter_rows(cache, k_rows, v_rows, k_sc, v_sc, lengths):
+    """Write all layers' new-token rows into the stacked cache (4 scatters)."""
+    import dataclasses
+
+    from mnn_tpu.runtime.kvcache import KVCache  # noqa: F401
+
+    b = cache.k.shape[1]
+    s = cache.capacity
+    pos = jnp.clip(lengths, 0, s - 1)
+    zero = jnp.zeros((), jnp.int32)
+    if b == 1:
+        p0 = pos[0]
+        k = jax.lax.dynamic_update_slice(
+            cache.k, k_rows.astype(cache.k.dtype), (zero, zero, zero, p0, zero))
+        v = jax.lax.dynamic_update_slice(
+            cache.v, v_rows.astype(cache.v.dtype), (zero, zero, zero, p0, zero))
+        if cache.quantized:
+            ks = jax.lax.dynamic_update_slice(
+                cache.k_scale, k_sc, (zero, zero, zero, p0))
+            vs = jax.lax.dynamic_update_slice(
+                cache.v_scale, v_sc, (zero, zero, zero, p0))
+            return dataclasses.replace(cache, k=k, v=v, k_scale=ks, v_scale=vs)
+        return dataclasses.replace(cache, k=k, v=v)
+    b_idx = jnp.arange(b)
+    k = cache.k.at[:, b_idx, :, pos].set(k_rows[:, :, :, 0].astype(cache.k.dtype))
+    v = cache.v.at[:, b_idx, :, pos].set(v_rows[:, :, :, 0].astype(cache.v.dtype))
+    if cache.quantized:
+        ks = cache.k_scale.at[:, b_idx, :, pos].set(k_sc[:, :, :, 0])
+        vs = cache.v_scale.at[:, b_idx, :, pos].set(v_sc[:, :, :, 0])
+        return dataclasses.replace(cache, k=k, v=v, k_scale=ks, v_scale=vs)
+    return dataclasses.replace(cache, k=k, v=v)

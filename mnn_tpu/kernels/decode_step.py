@@ -185,6 +185,7 @@ def fused_decode_attention(
     block_kv: int = 512,
     window: int = 0,
     sink: int = 0,
+    interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array,
            Optional[jax.Array], Optional[jax.Array]]:
     """Fused decode attention step against the pre-append cache.
@@ -287,6 +288,7 @@ def fused_decode_attention(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(lens, lidx, qkv_g, cs, qkn, k4, v4, ks4, vs4)
 
     att = outs[0].reshape(b, hkv, gp, d)[:, :, :g].reshape(b, hkv * g, d)

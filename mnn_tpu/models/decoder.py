@@ -30,7 +30,7 @@ from mnn_tpu.kernels.dequant_matmul import dequant_matmul
 from mnn_tpu.kernels.flash_attention import decode_attention, flash_attention
 from mnn_tpu.models.config import ModelConfig
 from mnn_tpu.models.layers import (apply_rope, rms_norm, rope_cos_sin,
-                                   rotate_heads, swiglu)
+                                   rotate_heads, split_gate_up, swiglu)
 from mnn_tpu.quant.quantize import QuantizedLinear, quantize
 from mnn_tpu.runtime import kvcache
 from mnn_tpu.runtime.kvcache import KVCache
@@ -50,9 +50,11 @@ class LayerParams:
 
     wqkv: QuantizedLinear      # [hidden, Hkv * (G+2) * D]
     wo: QuantizedLinear        # [H*D, hidden]
-    wgu: Optional[QuantizedLinear]   # [hidden, intermediate*2], col 2i =
-                               # gate_i, col 2i+1 = up_i (pairs survive
-                               # N-sharding); None for pure-MoE layers
+    wgu: Optional[QuantizedLinear]   # [hidden, intermediate*2], columns in
+                               # 64-block gate/up interleave (layers.GU_BLOCK;
+                               # blocks survive N-sharding and split with
+                               # aligned lane slices in the decode
+                               # megakernel); None for pure-MoE layers
     wdown: Optional[QuantizedLinear]  # [intermediate, hidden]
     input_norm: jax.Array      # [L, hidden]
     post_norm: jax.Array       # [L, hidden]
@@ -136,8 +138,7 @@ def _moe_mlp(c: ModelConfig, h2: jax.Array, lp: LayerParams,
     def expert_body(acc, ex):
         gu_q, down_q, wcol = ex
         gu = dequant_matmul(x, gu_q, interpret=interpret)
-        gu = gu.reshape(n, -1, 2)
-        act = swiglu(gu[..., 0], gu[..., 1])
+        act = swiglu(*split_gate_up(gu))
         out = dequant_matmul(act, down_q, interpret=interpret,
                              out_dtype=jnp.float32)
         return acc + out * wcol[:, None], None
@@ -158,8 +159,7 @@ def _moe_mlp(c: ModelConfig, h2: jax.Array, lp: LayerParams,
 
     if lp.wgu_shared is not None:
         gu = dequant_matmul(x, lp.wgu_shared, interpret=interpret)
-        gu = gu.reshape(n, -1, 2)
-        act = swiglu(gu[..., 0], gu[..., 1])
+        act = swiglu(*split_gate_up(gu))
         out = dequant_matmul(act, lp.wdown_shared, interpret=interpret,
                              out_dtype=jnp.float32)
         if lp.shared_gate is not None:
@@ -381,6 +381,27 @@ def _forward_unrolled(
     out_f32 = jnp.float32 if tp_axis else jnp.bfloat16
     group = c.num_heads // c.num_kv_heads
 
+    # whole-model megakernel: all layers in ONE pallas_call (see
+    # kernels/decode_model.py). Strictly better than the per-layer fused
+    # path when eligible — falls through otherwise.
+    if (t == 1 and use_pallas(interpret) and lora is None
+            and tp_axis is None):
+        from mnn_tpu.kernels import decode_model
+
+        if decode_model.supports(c, params, cache, b):
+            cos_f = jnp.concatenate([cos[:, 0], cos[:, 0]], axis=-1)
+            sin_f = jnp.concatenate([sin[:, 0], sin[:, 0]], axis=-1)
+            xh, k_rows, v_rows, k_sc, v_sc = decode_model.fused_decode_model(
+                x[:, 0], layers, cache.k, cache.v, cache.k_scale,
+                cache.v_scale, cache.length, cos_f, sin_f, config=c,
+                interpret=bool(interpret),
+            )
+            cache = decode_model.scatter_rows(
+                cache, k_rows, v_rows, k_sc, v_sc, cache.length
+            )
+            new_cache = dataclasses.replace(cache, length=kv_len)
+            return xh[:, None].astype(x.dtype), new_cache
+
     fused = (t == 1 and use_pallas(interpret) and cache.bits != 4
              and not c.kv_rotate)
     if fused:
@@ -410,7 +431,7 @@ def _forward_unrolled(
                 q_norm=layers.q_norm[i] if c.qk_norm else None,
                 k_norm=layers.k_norm[i] if c.qk_norm else None,
                 eps=c.rms_norm_eps, window=c.sliding_window,
-                sink=c.attention_sink,
+                sink=c.attention_sink, interpret=bool(interpret),
             )
             cache = kvcache.scatter_decode_row(
                 cache, i, k_row, v_row, k_sc, v_sc, cache.length
@@ -459,8 +480,7 @@ def _forward_unrolled(
         )
         if lo is not None:
             gu = _add_lora(gu, h2, lo.a_gu, lo.b_gu, lora.scaling)
-        gu = gu.reshape(b, t, gu.shape[-1] // 2, 2)
-        act = swiglu(gu[..., 0], gu[..., 1])
+        act = swiglu(*split_gate_up(gu))
         d = dequant_matmul(
             act, layers.wdown, layer_index=i, interpret=interpret,
             out_dtype=out_f32,
@@ -589,8 +609,7 @@ def forward(
             gu = dequant_matmul(h2, lp.wgu, interpret=interpret)
             if lo is not None:
                 gu = _add_lora(gu, h2, lo.a_gu, lo.b_gu, lo.scaling)
-            gu = gu.reshape(b, t, gu.shape[-1] // 2, 2)
-            act = swiglu(gu[..., 0], gu[..., 1])
+            act = swiglu(*split_gate_up(gu))
             d = dequant_matmul(
                 act, lp.wdown, interpret=interpret,
                 out_dtype=jnp.float32 if tp_axis else jnp.bfloat16,

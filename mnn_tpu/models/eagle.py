@@ -41,7 +41,8 @@ from mnn_tpu.kernels.dequant_matmul import dequant_matmul
 from mnn_tpu.kernels.flash_attention import decode_attention, flash_attention
 from mnn_tpu.models.config import ModelConfig
 from mnn_tpu.models.decoder import Params, head_logits
-from mnn_tpu.models.layers import apply_rope, rms_norm, rope_cos_sin, swiglu
+from mnn_tpu.models.layers import (apply_rope, rms_norm, rope_cos_sin,
+                                   split_gate_up, swiglu)
 from mnn_tpu.quant.quantize import QuantizedLinear, quantize
 from mnn_tpu.runtime import kvcache
 from mnn_tpu.runtime.kvcache import KVCache
@@ -162,8 +163,7 @@ def eagle_forward(
 
     h2 = rms_norm(x, ep.post_norm, c.rms_norm_eps)
     gu = dequant_matmul(h2, ep.wgu, interpret=interpret)
-    gu = gu.reshape(b, t, gu.shape[-1] // 2, 2)
-    act = swiglu(gu[..., 0], gu[..., 1])
+    act = swiglu(*split_gate_up(gu))
     x = x + dequant_matmul(act, ep.wdown, interpret=interpret).astype(x.dtype)
 
     cache = dataclasses.replace(cache, length=kv_len)

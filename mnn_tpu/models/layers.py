@@ -42,6 +42,51 @@ def swiglu(gate: jax.Array, up: jax.Array) -> jax.Array:
     return jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
 
 
+# Gate/up packing granularity for the fused wgu projection: columns
+# alternate 64-wide blocks [gate_64k..  | up_64k.. | gate.. | up..].
+# 64-block (not per-channel pair) interleave because the decode megakernel
+# must split gate/up with plain aligned lane slices — Mosaic has no
+# strided-lane slice or (.., N) -> (.., N/2, 2) shape cast. 64 (not 128) so
+# any TP shard with (I/tp) % 64 == 0 keeps whole (gate, up) block pairs
+# under contiguous N-sharding (e.g. Qwen2.5-7B I=18944, tp=8 -> 2368).
+GU_BLOCK = 64
+
+
+def gu_block_for(intermediate: int) -> int:
+    """Layout block for a given (possibly shard-local) intermediate size.
+
+    Largest power of two <= 64 dividing I: 64 for every real model (and for
+    their TP shards, so layout and split agree across sharding); smaller for
+    tiny test configs, degrading gracefully to narrow blocks."""
+    blk = GU_BLOCK
+    while blk > 1 and intermediate % blk:
+        blk //= 2
+    return blk
+
+
+def split_gate_up(gu: jax.Array):
+    """gu [..., 2I] in the block-interleaved layout -> (gate, up) [..., I]."""
+    lead = gu.shape[:-1]
+    n = gu.shape[-1]
+    blk = gu_block_for(n // 2)
+    pairs = gu.reshape(*lead, n // (2 * blk), 2, blk)
+    gate = pairs[..., 0, :].reshape(*lead, n // 2)
+    up = pairs[..., 1, :].reshape(*lead, n // 2)
+    return gate, up
+
+
+def interleave_gate_up(wg, wu):
+    """numpy [K, I] x2 -> [K, 2I] in the 64-block-interleaved layout."""
+    import numpy as _np
+
+    k, i = wg.shape
+    blk = gu_block_for(i)
+    stacked = _np.stack(
+        [wg.reshape(k, i // blk, blk),
+         wu.reshape(k, i // blk, blk)], axis=2)
+    return stacked.reshape(k, 2 * i)
+
+
 import functools as _functools
 
 
