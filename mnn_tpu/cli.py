@@ -188,6 +188,16 @@ def cmd_eval(args):
     print(json.dumps({"tokens": len(ids), "perplexity": round(ppl, 4)}))
 
 
+def cmd_tune(args):
+    # measured GEMM block-size selection, persisted per device kind
+    # (= the reference's GemmTune + setCacheFile flow)
+    llm = _build_llm(args)
+    from mnn_tpu.kernels import autotune
+
+    ms = tuple(int(v) for v in args.m.split(","))
+    autotune.tune_model(llm.params, m_values=ms)
+
+
 def cmd_serve(args):
     from mnn_tpu.serve.server import serve
 
@@ -241,6 +251,12 @@ def main(argv=None):
     p.add_argument("--text")
     p.add_argument("--max-tokens-eval", type=int, default=4096)
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("tune", help="autotune GEMM block sizes on this chip")
+    _add_model_args(p)
+    p.add_argument("--m", default="1,8,128,512",
+                   help="comma-separated batch-row sizes to tune")
+    p.set_defaults(fn=cmd_tune)
 
     p = sub.add_parser("serve", help="OpenAI-compatible server")
     _add_model_args(p)

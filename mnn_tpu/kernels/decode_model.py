@@ -104,10 +104,13 @@ def _dequant_block(w_ref_slice, bits, dtype=jnp.bfloat16):
     return (w32 & 0xFF).astype(dtype)
 
 
-def _qmatmul(x_f32, w_ref, s_ref, b_ref, *, bits, bs, k):
+def _qmatmul(x_f32, w_ref, s_ref, b_ref, *, bits, bs, k, sb_off=0):
     """x @ dequant(W) with per-block scale/bias on partial products.
 
-    x_f32: [M, k] f32 value; w_ref block [1, k//pack, bn]; s/b [1, nb, 1, bn].
+    x_f32: [M, k] f32 value; w_ref block [1, k//pack, bn]; s/b blocks
+    [1, NB, bn] hold the layer's FULL quant-block axis (3D keeps the
+    natural T(8,128) tiling; a trailing singleton forced a per-step
+    relayout copy) with `sb_off` selecting this K-chunk's rows.
     Returns [M, bn] f32.
     """
     nb = k // bs
@@ -122,7 +125,8 @@ def _qmatmul(x_f32, w_ref, s_ref, b_ref, *, bits, bs, k):
         xb = x[:, kb * bs:(kb + 1) * bs]
         part = jnp.dot(xb, q, preferred_element_type=jnp.float32)
         rsb = jnp.sum(x_f32[:, kb * bs:(kb + 1) * bs], axis=1, keepdims=True)
-        term = part * s_ref[0, kb] + rsb * b_ref[0, kb]
+        sb = sb_off + kb
+        term = part * s_ref[0, sb:sb + 1] + rsb * b_ref[0, sb:sb + 1]
         acc = term if acc is None else acc + term
     return acc
 
@@ -356,8 +360,9 @@ def _kernel(
         @pl.when(p == DN0 + c_dn)
         def _dn_phase(c_dn=c_dn):
             act = act_scr[:, c_dn * bk_dn:(c_dn + 1) * bk_dn]
-            term = _qmatmul(act, wdn_ref, sd_ref, bd_ref,
-                            bits=bits, bs=bs_i, k=bk_dn)
+            term = _qmatmul(act, wdn_ref, sd_ref, bd_ref, bits=bits,
+                            bs=bs_i, k=bk_dn,
+                            sb_off=c_dn * (bk_dn // bs_i))
             if c_dn == 0:
                 dn_scr[...] = term
             else:
@@ -452,9 +457,11 @@ def fused_decode_model(
     nb_o = dq // bs_h
     pack = 2 if bits == 4 else 1
 
-    # reshape scale/bias planes to [L, nb, 1, N]
+    # scale/bias planes as [L, nb, N]: 3D blocks keep the natural T(8,128)
+    # tiling — a trailing singleton dim forced a T(1,128) relayout copy of
+    # every plane inside the decode scan (measured ~48us/step on chip)
     def plane(a, k_dim, bs):
-        return a.reshape(nl, k_dim // bs, 1, a.shape[-1])
+        return a.reshape(nl, k_dim // bs, a.shape[-1])
 
     sq = plane(lay.wqkv.scale, h, bs_h)
     bq = plane(lay.wqkv.bias, h, bs_h)
@@ -490,7 +497,7 @@ def fused_decode_model(
         return (l_, 0, 0)
 
     def at_qkv_sc(l_, p_, L):
-        return (l_, 0, 0, 0)
+        return (l_, 0, 0)
 
     def at_qkvb(l_, p_, L):
         return (l_ if has_qkv_bias else 0, 0, 0)
@@ -501,7 +508,7 @@ def fused_decode_model(
 
     def at_wo_sc(l_, p_, L):
         lw = jnp.where(p_ >= WO, l_, jnp.maximum(l_ - 1, 0))
-        return (lw, 0, 0, 0)
+        return (lw, 0, 0)
 
     def gu_chunk(l_, p_):
         in_phase = jnp.logical_and(p_ >= GU0, p_ < GU0 + n_gu)
@@ -515,7 +522,7 @@ def fused_decode_model(
 
     def at_gu_sc(l_, p_, L):
         lw, ch = gu_chunk(l_, p_)
-        return (lw, 0, 0, ch)
+        return (lw, 0, ch)
 
     def dn_chunk(l_, p_):
         in_phase = p_ >= DN0
@@ -528,8 +535,8 @@ def fused_decode_model(
         return (lw, ch, 0)
 
     def at_dn_sc(l_, p_, L):
-        lw, ch = dn_chunk(l_, p_)
-        return (lw, ch, 0, 0)
+        lw, _ = dn_chunk(l_, p_)
+        return (lw, 0, 0)
 
     def kv_tile(l_, p_):
         in_phase = jnp.logical_and(p_ >= 1, p_ <= nkv)
@@ -571,18 +578,18 @@ def fused_decode_model(
         pl.BlockSpec((b8, h), const2),                      # x
         pl.BlockSpec((b8, 2, d), const3),                   # cos/sin
         pl.BlockSpec((1, h // pack, nq), at_qkv),           # wqkv
-        pl.BlockSpec((1, nb_h, 1, nq), at_qkv_sc),          # sq
-        pl.BlockSpec((1, nb_h, 1, nq), at_qkv_sc),          # bq
+        pl.BlockSpec((1, nb_h, nq), at_qkv_sc),             # sq
+        pl.BlockSpec((1, nb_h, nq), at_qkv_sc),             # bq
         pl.BlockSpec((1, 1, nq), at_qkvb),                  # qkv out-bias
         pl.BlockSpec((1, dq // pack, h), at_wo),            # wo
-        pl.BlockSpec((1, nb_o, 1, h), at_wo_sc),            # so
-        pl.BlockSpec((1, nb_o, 1, h), at_wo_sc),            # bo
+        pl.BlockSpec((1, nb_o, h), at_wo_sc),               # so
+        pl.BlockSpec((1, nb_o, h), at_wo_sc),               # bo
         pl.BlockSpec((1, h // pack, bn_gu), at_gu),         # wgu chunk
-        pl.BlockSpec((1, nb_gu, 1, bn_gu), at_gu_sc),       # sg
-        pl.BlockSpec((1, nb_gu, 1, bn_gu), at_gu_sc),       # bg
+        pl.BlockSpec((1, nb_gu, bn_gu), at_gu_sc),          # sg
+        pl.BlockSpec((1, nb_gu, bn_gu), at_gu_sc),          # bg
         pl.BlockSpec((1, bk_dn // pack, h), at_dn),         # wdown chunk
-        pl.BlockSpec((1, nb_dn_blk, 1, h), at_dn_sc),       # sd
-        pl.BlockSpec((1, nb_dn_blk, 1, h), at_dn_sc),       # bd
+        pl.BlockSpec((1, i_dim // bs_i, h), at_dn_sc),      # sd (full layer)
+        pl.BlockSpec((1, i_dim // bs_i, h), at_dn_sc),      # bd
         pl.BlockSpec((1, 1, h), at_norm),                   # input_norm
         pl.BlockSpec((1, 1, h), at_norm),                   # post_norm
         pl.BlockSpec((1, 2, d), at_qkn),                    # qk norms

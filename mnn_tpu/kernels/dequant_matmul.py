@@ -135,11 +135,19 @@ def choose_blocks(m: int, k: int, n: int, block_size: int):
     bm = 256 if m >= 256 else round_up(m, 8)
     # Large bn cuts the number of passes over x (x traffic = x_bytes * n/bn)
     # and the number of grid steps (vocab-sized N with prime factors would
-    # otherwise degenerate to bn=128 and thousands of steps).
-    bn_cap = 4096 if m > 64 else 2048
+    # otherwise degenerate to bn=128 and thousands of steps). For decode
+    # GEMV (m<=8) x is one vector, so the widest VMEM-fitting bn wins —
+    # measured on the Qwen2 vocab head: bn 2048 -> 8192 is 123 -> 103 us.
+    bn_cap = 4096 if m > 64 else (8192 if m <= 8 else 2048)
     bn = min(round_up(n, 128), bn_cap)
     bk_cap = max(block_size, (3 << 20) // max(bn, 1) * 2)  # ~1.5MB packed tile
-    bk = largest_divisor_leq(k, min(bk_cap, 2048), block_size)
+    if m <= 8:
+        # x/out tiles are negligible: keep K whole when it fits so every
+        # weight byte streams once with a deep K pipeline per N tile
+        bk_cap = (12 << 20) // max(bn, 1)
+        bk = largest_divisor_leq(k, min(bk_cap, 4096), block_size)
+    else:
+        bk = largest_divisor_leq(k, min(bk_cap, 2048), block_size)
 
     def vmem_bytes(bm_, bn_, bk_):
         # double-buffered io tiles + accumulator + in-kernel temporaries
@@ -155,9 +163,10 @@ def choose_blocks(m: int, k: int, n: int, block_size: int):
             + 4 * (bk_ // block_size) * bn_ * 8  # scales/biases
         )
 
-    while bn > 128 and vmem_bytes(bm, bn, bk) > (11 << 20):
+    budget = (12 << 20) + (1 << 19) if m <= 8 else (11 << 20)
+    while bn > 128 and vmem_bytes(bm, bn, bk) > budget:
         bn -= 128
-    while bk > block_size and vmem_bytes(bm, bn, bk) > (11 << 20):
+    while bk > block_size and vmem_bytes(bm, bn, bk) > budget:
         smaller = largest_divisor_leq(k, bk - block_size, block_size)
         if smaller == bk:
             break
@@ -299,7 +308,10 @@ def _dequant_matmul_pallas(
     else:
         x2 = x.reshape(m, k).astype(jnp.bfloat16)
 
-    bm, bn, bk = choose_blocks(m, k, n, bs)
+    from mnn_tpu.kernels import autotune
+
+    tuned = autotune.lookup(m, k, n, bs, ql.bits, ql.act_bits)
+    bm, bn, bk = tuned if tuned is not None else choose_blocks(m, k, n, bs)
     if block_m is not None:
         bm = block_m
     if block_n is not None:

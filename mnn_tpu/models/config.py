@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Optional
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -36,6 +36,9 @@ class ModelConfig:
     # long-context handling (reference CPUAttention sliding window + sink)
     sliding_window: int = 0        # 0 = full attention
     attention_sink: int = 0        # always-visible prefix positions
+    # Llama-3.x rope frequency rescale (factor, low_freq_factor,
+    # high_freq_factor, original_max_position_embeddings); None = plain rope
+    rope_scaling: Optional[Tuple[float, float, float, int]] = None
     # Hadamard-rotate Q/K/V per head dim before the (quantized) KV cache —
     # the WHT half of the reference's TurboQuant TQ3/TQ4
     # (source/backend/cpu/compute/TurboQuant.hpp:5-24). Scores are exactly
@@ -82,7 +85,8 @@ class ModelConfig:
             qk_norm="qwen3" in arch,
             max_position_embeddings=d.get("max_position_embeddings", 32768),
             sliding_window=(d.get("sliding_window") or 0)
-            if d.get("use_sliding_window") else 0,
+            if (d.get("use_sliding_window") or "mistral" in arch) else 0,
+            rope_scaling=_parse_rope_scaling(d.get("rope_scaling")),
             num_experts=d.get("num_experts", 0),
             num_experts_per_tok=d.get("num_experts_per_tok", 2),
             moe_intermediate_size=d.get("moe_intermediate_size", 0),
@@ -120,13 +124,19 @@ PRESETS = {
         name="llama3.2-1b", vocab_size=128256, hidden_size=2048,
         intermediate_size=8192, num_layers=16, num_heads=32, num_kv_heads=8,
         head_dim=64, rope_theta=500000.0, tie_word_embeddings=True,
-        attention_bias=False,
+        attention_bias=False, rope_scaling=(32.0, 1.0, 4.0, 8192),
     ),
     "llama3.2-3b": ModelConfig(
         name="llama3.2-3b", vocab_size=128256, hidden_size=3072,
         intermediate_size=8192, num_layers=28, num_heads=24, num_kv_heads=8,
         head_dim=128, rope_theta=500000.0, tie_word_embeddings=True,
-        attention_bias=False,
+        attention_bias=False, rope_scaling=(32.0, 1.0, 4.0, 8192),
+    ),
+    "mistral-7b": ModelConfig(
+        name="mistral-7b", vocab_size=32000, hidden_size=4096,
+        intermediate_size=14336, num_layers=32, num_heads=32, num_kv_heads=8,
+        head_dim=128, rope_theta=10000.0, tie_word_embeddings=False,
+        attention_bias=False, sliding_window=4096,
     ),
     # tiny config for tests (CPU interpret mode friendly)
     "tiny": ModelConfig(
@@ -135,6 +145,24 @@ PRESETS = {
         tie_word_embeddings=True, attention_bias=True,
     ),
 }
+
+
+def _parse_rope_scaling(rs) -> Optional[Tuple[float, float, float, int]]:
+    """HF rope_scaling dict -> static tuple (llama3 rule only; linear/yarn
+    unsupported -> error rather than silently wrong positions)."""
+    if not rs:
+        return None
+    kind = rs.get("rope_type") or rs.get("type")
+    if kind == "default":
+        return None
+    if kind != "llama3":
+        raise ValueError(f"unsupported rope_scaling type: {kind}")
+    return (
+        float(rs["factor"]),
+        float(rs.get("low_freq_factor", 1.0)),
+        float(rs.get("high_freq_factor", 4.0)),
+        int(rs.get("original_max_position_embeddings", 8192)),
+    )
 
 
 @dataclasses.dataclass

@@ -544,7 +544,8 @@ def forward(
         x = params.embedding[tokens]  # [B, T, hidden]
     start = cache.length[0]       # uniform write offset (prefill)
     positions = cache.length[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
-    cos, sin = rope_cos_sin(positions, c.head_dim, c.rope_theta)
+    cos, sin = rope_cos_sin(positions, c.head_dim, c.rope_theta,
+                            scaling=c.rope_scaling)
     kv_len = jnp.minimum(cache.length + t, cache.capacity)
 
     q_dim, kv_dim = c.q_dim, c.kv_dim

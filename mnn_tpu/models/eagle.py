@@ -134,7 +134,8 @@ def eagle_forward(
 
     start = cache.length[0]
     positions = cache.length[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
-    cos, sin = rope_cos_sin(positions, c.head_dim, c.rope_theta)
+    cos, sin = rope_cos_sin(positions, c.head_dim, c.rope_theta,
+                            scaling=c.rope_scaling)
     kv_len = jnp.minimum(cache.length + t, cache.capacity)
 
     # attention, NO pre-norm (EAGLE-1 drops the first input layernorm)

@@ -19,10 +19,30 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
     return (normed * weight.astype(jnp.float32)).astype(x.dtype)
 
 
-def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float):
-    """positions [B, T] int32 -> cos/sin [B, T, head_dim//2] f32."""
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
+                 scaling=None):
+    """positions [B, T] int32 -> cos/sin [B, T, head_dim//2] f32.
+
+    scaling: optional Llama-3-style long-context frequency rescale
+    (factor, low_freq_factor, high_freq_factor, original_max_pos) — the HF
+    `rope_scaling {"rope_type": "llama3"}` rule: low-frequency bands are
+    divided by `factor`, high-frequency bands kept, and the middle band
+    interpolated (Llama-3.1/3.2 checkpoints require this; without it long
+    positions alias).
+    """
     half = head_dim // 2
     freqs = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32) / half))
+    if scaling is not None:
+        factor, low_f, high_f, orig_max = scaling
+        wavelen = 2.0 * jnp.pi / freqs
+        low_wl = orig_max / low_f
+        high_wl = orig_max / high_f
+        smooth = (orig_max / wavelen - low_f) / (high_f - low_f)
+        mid = (1.0 - smooth) * freqs / factor + smooth * freqs
+        freqs = jnp.where(
+            wavelen > low_wl, freqs / factor,
+            jnp.where(wavelen < high_wl, freqs, mid),
+        )
     angles = positions.astype(jnp.float32)[..., None] * freqs  # [B, T, half]
     return jnp.cos(angles), jnp.sin(angles)
 
