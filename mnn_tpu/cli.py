@@ -205,6 +205,31 @@ def cmd_serve(args):
     serve(llm, host=args.host, port=args.port, batch=args.batch)
 
 
+def cmd_txt2img(args):
+    # diffusion demo CLI ≈ the reference's diffusion_demo
+    # (transformers/diffusion/engine/, Diffusion::run(prompt, iterNum, seed))
+    import numpy as np
+
+    from mnn_tpu.diffusion import StableDiffusion
+
+    sd = StableDiffusion.from_pretrained(args.model, scheduler=args.scheduler)
+    t0 = time.time()
+    img = sd.txt2img(args.prompt, negative_prompt=args.negative,
+                     num_steps=args.steps, seed=args.seed,
+                     guidance_scale=args.cfg, height=args.size,
+                     width=args.size,
+                     callback=lambda i, _: print(f"step {i + 1}/{args.steps}",
+                                                 flush=True))
+    dt = time.time() - t0
+    try:
+        from PIL import Image
+
+        Image.fromarray(img).save(args.out)
+    except ImportError:
+        np.save(args.out + ".npy", img)
+    print(f"saved {args.out} ({dt:.1f}s, {args.steps / dt:.2f} it/s)")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="mnn-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -257,6 +282,20 @@ def main(argv=None):
     p.add_argument("--m", default="1,8,128,512",
                    help="comma-separated batch-row sizes to tune")
     p.set_defaults(fn=cmd_tune)
+
+    p = sub.add_parser("txt2img", help="diffusion text-to-image")
+    p.add_argument("--model", required=True,
+                   help="diffusers-format SD checkpoint dir")
+    p.add_argument("prompt")
+    p.add_argument("--negative", default="")
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cfg", type=float, default=7.5)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--scheduler", default="ddim",
+                   choices=["ddim", "ddpm", "euler"])
+    p.add_argument("--out", default="out.png")
+    p.set_defaults(fn=cmd_txt2img)
 
     p = sub.add_parser("serve", help="OpenAI-compatible server")
     _add_model_args(p)
