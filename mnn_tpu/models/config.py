@@ -39,6 +39,11 @@ class ModelConfig:
     # Llama-3.x rope frequency rescale (factor, low_freq_factor,
     # high_freq_factor, original_max_position_embeddings); None = plain rope
     rope_scaling: Optional[Tuple[float, float, float, int]] = None
+    # Multimodal rope (qwen2-vl/omni "mrope"): frequency-band split among
+    # (temporal, height, width) position components. None = 1D rope. The
+    # reference computes this inside its RoPE execution for Omni models
+    # (transformers/llm/engine/src/omni.cpp mrope position ids).
+    mrope_section: Optional[Tuple[int, ...]] = None
     # Hadamard-rotate Q/K/V per head dim before the (quantized) KV cache —
     # the WHT half of the reference's TurboQuant TQ3/TQ4
     # (source/backend/cpu/compute/TurboQuant.hpp:5-24). Scores are exactly
@@ -87,6 +92,9 @@ class ModelConfig:
             sliding_window=(d.get("sliding_window") or 0)
             if (d.get("use_sliding_window") or "mistral" in arch) else 0,
             rope_scaling=_parse_rope_scaling(d.get("rope_scaling")),
+            mrope_section=tuple((d.get("rope_scaling") or {}).get(
+                "mrope_section")) if (d.get("rope_scaling") or {}).get(
+                "mrope_section") else None,
             num_experts=d.get("num_experts", 0),
             num_experts_per_tok=d.get("num_experts_per_tok", 2),
             moe_intermediate_size=d.get("moe_intermediate_size", 0),
@@ -153,7 +161,7 @@ def _parse_rope_scaling(rs) -> Optional[Tuple[float, float, float, int]]:
     if not rs:
         return None
     kind = rs.get("rope_type") or rs.get("type")
-    if kind == "default":
+    if kind in ("default", "mrope"):  # mrope carried via mrope_section
         return None
     if kind != "llama3":
         raise ValueError(f"unsupported rope_scaling type: {kind}")

@@ -30,7 +30,8 @@ from mnn_tpu.kernels.dequant_matmul import dequant_matmul
 from mnn_tpu.kernels.flash_attention import decode_attention, flash_attention
 from mnn_tpu.models.config import ModelConfig
 from mnn_tpu.models.layers import (apply_rope, rms_norm, rope_cos_sin,
-                                   rotate_heads, split_gate_up, swiglu)
+                                   rope_cos_sin_mrope, rotate_heads,
+                                   split_gate_up, swiglu)
 from mnn_tpu.quant.quantize import QuantizedLinear, quantize
 from mnn_tpu.runtime import kvcache
 from mnn_tpu.runtime.kvcache import KVCache
@@ -511,6 +512,7 @@ def forward(
     tp_axis: Optional[str] = None,
     lora: Optional["LoraParams"] = None,
     inputs_embeds: Optional[jax.Array] = None,  # [B, T, hidden] (multimodal)
+    position_ids: Optional[jax.Array] = None,   # [B, T, 3] mrope (t, h, w)
     return_hidden: bool = False,  # pipeline stages: skip the head
     layer_scan: Optional[bool] = None,  # None = auto (scan only for MoE)
 ) -> Tuple[jax.Array, KVCache]:
@@ -544,8 +546,12 @@ def forward(
         x = params.embedding[tokens]  # [B, T, hidden]
     start = cache.length[0]       # uniform write offset (prefill)
     positions = cache.length[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
-    cos, sin = rope_cos_sin(positions, c.head_dim, c.rope_theta,
-                            scaling=c.rope_scaling)
+    if position_ids is not None and c.mrope_section is not None:
+        cos, sin = rope_cos_sin_mrope(position_ids, c.head_dim, c.rope_theta,
+                                      c.mrope_section)
+    else:
+        cos, sin = rope_cos_sin(positions, c.head_dim, c.rope_theta,
+                                scaling=c.rope_scaling)
     kv_len = jnp.minimum(cache.length + t, cache.capacity)
 
     q_dim, kv_dim = c.q_dim, c.kv_dim

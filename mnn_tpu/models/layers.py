@@ -47,6 +47,28 @@ def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
     return jnp.cos(angles), jnp.sin(angles)
 
 
+def rope_cos_sin_mrope(positions3: jax.Array, head_dim: int, theta: float,
+                       sections):
+    """Multimodal rope (qwen2-vl mrope): positions3 [B, T, 3] holding the
+    (temporal, height, width) position of each token -> cos/sin
+    [B, T, head_dim//2].
+
+    Frequency bands are partitioned by `sections` (sums to head_dim//2);
+    band i takes its rotation angle from position component i. For pure
+    text, all three components are equal and this reduces EXACTLY to
+    rope_cos_sin — so text-only decode needs no position plumbing.
+    """
+    half = head_dim // 2
+    assert sum(sections) == half, (sections, half)
+    freqs = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32) / half))
+    angles = positions3.astype(jnp.float32)[..., None] * freqs  # [B,T,3,half]
+    sel = jnp.asarray(
+        sum(([i] * s for i, s in enumerate(sections)), []), jnp.int32)
+    angles = jnp.take_along_axis(
+        angles, sel.reshape(1, 1, 1, half), axis=2)[:, :, 0]  # [B,T,half]
+    return jnp.cos(angles), jnp.sin(angles)
+
+
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     """x [B, H, T, D] with neox-style half rotation (HF convention)."""
     half = x.shape[-1] // 2

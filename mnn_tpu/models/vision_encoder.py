@@ -165,6 +165,45 @@ def from_hf_clip(model) -> VitParams:
     )
 
 
+def build_mrope_positions(token_ids, image_token_id=None, grid_hw=None,
+                          start: int = 0):
+    """Qwen2-VL-style 3D (temporal, height, width) position ids.
+
+    Text tokens advance all three components together (so mrope equals
+    plain rope for them — see layers.rope_cos_sin_mrope). A run of image
+    placeholder tokens (one per ViT patch, row-major over `grid_hw`)
+    shares one temporal position while h/w walk the patch grid; positions
+    resume after the image at start + max(grid). Mirrors the reference's
+    mrope position-id construction for Omni models
+    (/root/reference/transformers/llm/engine/src/omni.cpp).
+
+    Returns [1, T, 3] int32.
+    """
+    ids = list(token_ids)
+    pos = np.zeros((len(ids), 3), np.int32)
+    cur = start
+    i = 0
+    while i < len(ids):
+        if image_token_id is not None and ids[i] == image_token_id:
+            gh, gw = grid_hw
+            n = gh * gw
+            run = ids[i:i + n]
+            assert all(t == image_token_id for t in run) and len(run) == n, (
+                "image token run shorter than grid")
+            rows = np.repeat(np.arange(gh, dtype=np.int32), gw)
+            cols = np.tile(np.arange(gw, dtype=np.int32), gh)
+            pos[i:i + n, 0] = cur
+            pos[i:i + n, 1] = cur + rows
+            pos[i:i + n, 2] = cur + cols
+            cur += int(max(gh, gw))
+            i += n
+        else:
+            pos[i] = cur
+            cur += 1
+            i += 1
+    return pos[None]
+
+
 def embed_multimodal(
     embedding: jax.Array,           # LLM token embedding [V, H]
     token_ids: List[int],
