@@ -107,8 +107,41 @@ class EulerDiscreteScheduler(Scheduler):
         return sample + d * (s_prev - s_t)
 
 
+@dataclasses.dataclass
+class FlowMatchEulerScheduler(Scheduler):
+    """Rectified-flow / flow-matching Euler sampler (SD3 and the
+    reference's token2wav DiT both integrate this ODE: x_s = (1-s)x0 + s·n,
+    model predicts velocity v = n - x0, Euler steps s: 1 -> 0)."""
+
+    shift: float = 1.0  # SD3 timestep shift
+
+    def set_timesteps(self, num_steps: int):
+        s = np.linspace(1.0, 0.0, num_steps + 1)
+        if self.shift != 1.0:
+            s = self.shift * s / (1 + (self.shift - 1) * s)
+        self.sigmas = s.astype(np.float32)
+        # integer "timesteps" for models conditioned on t in [0, T)
+        self.timesteps = (s[:-1] * self.num_train_timesteps).astype(np.int32)
+        return self.timesteps
+
+    def sigma_of(self, i):
+        return self.sigmas[i]
+
+    def step_index(self, model_out, i: int, sample):
+        """Euler step from sigma[i] to sigma[i+1] (index-based API)."""
+        return sample + (self.sigmas[i + 1] - self.sigmas[i]) * model_out
+
+    # pipeline-compatible signature: t/t_prev are integer timesteps
+    def step(self, model_out, t, t_prev, sample, key=None):
+        s_t = jnp.asarray(t, jnp.float32) / self.num_train_timesteps
+        s_prev = jnp.maximum(jnp.asarray(t_prev, jnp.float32), 0.0) \
+            / self.num_train_timesteps
+        return sample + (s_prev - s_t) * model_out
+
+
 SCHEDULERS = {
     "ddim": DDIMScheduler,
     "ddpm": DDPMScheduler,
     "euler": EulerDiscreteScheduler,
+    "flow_match": FlowMatchEulerScheduler,
 }
