@@ -97,6 +97,9 @@ def load_checkpoint(model_dir: str):
     with open(os.path.join(model_dir, "config.json")) as f:
         cfg_d = json.load(f)
     cfg_d.pop("mnn_tpu", None)
+    for k in ("rope_scaling", "mrope_section"):  # JSON lists -> hashable
+        if isinstance(cfg_d.get(k), list):
+            cfg_d[k] = tuple(cfg_d[k])
     config = ModelConfig(**cfg_d)
     rt_path = os.path.join(model_dir, "runtime.json")
     rt = RuntimeConfig.from_json(rt_path) if os.path.exists(rt_path) else RuntimeConfig()
@@ -154,6 +157,8 @@ def load_checkpoint(model_dir: str):
         post_norm=tensors["layers.post_norm"],
         q_norm=tensors.get("layers.q_norm"),
         k_norm=tensors.get("layers.k_norm"),
+        pre_ffn_norm=tensors.get("layers.pre_ffn_norm"),
+        post_ffn_norm=tensors.get("layers.post_ffn_norm"),
         router=tensors.get("layers.router"),
         wgu_e=opt_ql("layers.wgu_e"),
         wdown_e=opt_ql("layers.wdown_e"),

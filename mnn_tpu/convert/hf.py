@@ -76,6 +76,21 @@ def convert_hf(
     def get(name):
         if name in t:
             return _f32(t[name])
+        # phi-3-style fused projections: qkv_proj / gate_up_proj
+        for part, sl in (("q_proj", (0, c.q_dim)),
+                         ("k_proj", (c.q_dim, c.q_dim + c.kv_dim)),
+                         ("v_proj", (c.q_dim + c.kv_dim,
+                                     c.q_dim + 2 * c.kv_dim))):
+            if f".{part}." in name:
+                fused = name.replace(part, "qkv_proj")
+                if fused in t:
+                    return _f32(t[fused])[sl[0]: sl[1]]
+        for part, half in (("gate_proj", 0), ("up_proj", 1)):
+            if f".{part}." in name:
+                fused = name.replace(part, "gate_up_proj")
+                if fused in t:
+                    inter = c.intermediate_size
+                    return _f32(t[fused])[half * inter: (half + 1) * inter]
         # AWQ/GPTQ-quantized checkpoint: {base}.qweight/qzeros/scales
         base = name[: -len(".weight")] if name.endswith(".weight") else name
         if base + ".qweight" in t:
@@ -101,9 +116,18 @@ def convert_hf(
             )
         return stacked
 
+    # gemma RMSNorm computes x * (1 + w): bake the offset into the stored
+    # weights so the runtime norm stays a single multiply
+    norm_off = 1.0 if "gemma" in (hf_cfg.get("architectures") or [""])[0].lower() \
+        else 0.0
+
+    def get_norm(name):
+        return get(name) + norm_off
+
     wqkv_mats, wqkv_biases = [], []
     wo_mats, wgu_mats, wdown_mats = [], [], []
     in_norms, post_norms, q_norms, k_norms = [], [], [], []
+    pre_ffn_norms, post_ffn_norms = [], []
     routers, wgu_expert_mats, wdown_expert_mats = [], [], []
     wgu_shared_mats, wdown_shared_mats, shared_gates = [], [], []
     for i in range(c.num_layers):
@@ -159,11 +183,16 @@ def convert_hf(
             wgu_mats.append(interleave_gate_up(wg, wu))
             wdown_mats.append(get(p + "mlp.down_proj.weight").T)  # [inter, H]
 
-        in_norms.append(get(p + "input_layernorm.weight"))
-        post_norms.append(get(p + "post_attention_layernorm.weight"))
+        in_norms.append(get_norm(p + "input_layernorm.weight"))
+        post_norms.append(get_norm(p + "post_attention_layernorm.weight"))
+        if c.sandwich_norm:
+            pre_ffn_norms.append(
+                get_norm(p + "pre_feedforward_layernorm.weight"))
+            post_ffn_norms.append(
+                get_norm(p + "post_feedforward_layernorm.weight"))
         if c.qk_norm:
-            q_norms.append(get(p + "self_attn.q_norm.weight"))
-            k_norms.append(get(p + "self_attn.k_norm.weight"))
+            q_norms.append(get_norm(p + "self_attn.q_norm.weight"))
+            k_norms.append(get_norm(p + "self_attn.k_norm.weight"))
 
     bs_qkv = choose_block_size(c.hidden_size, block_size)
     bs_wo = choose_block_size(c.q_dim, block_size, tp_shards)
@@ -205,6 +234,10 @@ def convert_hf(
         post_norm=jnp.asarray(np.stack(post_norms), jnp.float32),
         q_norm=jnp.asarray(np.stack(q_norms), jnp.float32) if c.qk_norm else None,
         k_norm=jnp.asarray(np.stack(k_norms), jnp.float32) if c.qk_norm else None,
+        pre_ffn_norm=jnp.asarray(np.stack(pre_ffn_norms), jnp.float32)
+        if c.sandwich_norm else None,
+        post_ffn_norm=jnp.asarray(np.stack(post_ffn_norms), jnp.float32)
+        if c.sandwich_norm else None,
         **moe_fields,
     )
 
@@ -224,7 +257,7 @@ def convert_hf(
         lm_head = jnp.asarray(head_w, jnp.bfloat16)
     params = Params(
         embedding=emb,
-        final_norm=jnp.asarray(get("model.norm.weight"), jnp.float32),
+        final_norm=jnp.asarray(get_norm("model.norm.weight"), jnp.float32),
         lm_head=lm_head,
         layers=layers,
     )

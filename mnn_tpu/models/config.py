@@ -44,6 +44,15 @@ class ModelConfig:
     # reference computes this inside its RoPE execution for Omni models
     # (transformers/llm/engine/src/omni.cpp mrope position ids).
     mrope_section: Optional[Tuple[int, ...]] = None
+    # Gemma-family knobs. RMSNorm's (1 + w) offset is baked into the stored
+    # weights at conversion, so no runtime flag is needed for it.
+    mlp_act: str = "silu"          # "gelu_tanh" (gemma) | "silu"
+    embed_scale: bool = False      # multiply embeddings by sqrt(hidden)
+    sandwich_norm: bool = False    # gemma2/3: norms AFTER each sublayer too
+    attn_softcap: float = 0.0      # gemma2: tanh softcap on attn scores
+    final_softcap: float = 0.0     # gemma2: tanh softcap on logits
+    query_scale: float = 0.0       # 0 = 1/sqrt(head_dim); gemma2 overrides
+    swa_every_other: bool = False  # gemma2: even layers use sliding window
     # Hadamard-rotate Q/K/V per head dim before the (quantized) KV cache —
     # the WHT half of the reference's TurboQuant TQ3/TQ4
     # (source/backend/cpu/compute/TurboQuant.hpp:5-24). Scores are exactly
@@ -74,6 +83,7 @@ class ModelConfig:
         """Build from a HuggingFace config.json dict (qwen2/qwen3/llama)."""
         head_dim = d.get("head_dim") or d["hidden_size"] // d["num_attention_heads"]
         arch = (d.get("architectures") or [""])[0].lower()
+        gemma = "gemma" in arch
         return cls(
             name=name,
             vocab_size=d["vocab_size"],
@@ -85,12 +95,24 @@ class ModelConfig:
             head_dim=head_dim,
             rope_theta=d.get("rope_theta", 10000.0),
             rms_norm_eps=d.get("rms_norm_eps", 1e-6),
-            tie_word_embeddings=d.get("tie_word_embeddings", False),
+            tie_word_embeddings=d.get("tie_word_embeddings", gemma),
             attention_bias=d.get("attention_bias", "qwen2" in arch),
             qk_norm="qwen3" in arch,
             max_position_embeddings=d.get("max_position_embeddings", 32768),
             sliding_window=(d.get("sliding_window") or 0)
-            if (d.get("use_sliding_window") or "mistral" in arch) else 0,
+            if (d.get("use_sliding_window") or "mistral" in arch
+                or "phi3" in arch or "gemma2" in arch) else 0,
+            mlp_act="gelu_tanh"
+            if d.get("hidden_act", d.get("hidden_activation",
+                                         "silu")).startswith("gelu")
+            or gemma else "silu",
+            embed_scale=gemma,
+            sandwich_norm="gemma2" in arch or "gemma3" in arch,
+            attn_softcap=d.get("attn_logit_softcapping") or 0.0,
+            final_softcap=d.get("final_logit_softcapping") or 0.0,
+            query_scale=(d["query_pre_attn_scalar"] ** -0.5)
+            if d.get("query_pre_attn_scalar") else 0.0,
+            swa_every_other="gemma2" in arch,
             rope_scaling=_parse_rope_scaling(d.get("rope_scaling")),
             mrope_section=tuple((d.get("rope_scaling") or {}).get(
                 "mrope_section")) if (d.get("rope_scaling") or {}).get(

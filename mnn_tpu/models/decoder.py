@@ -61,6 +61,10 @@ class LayerParams:
     post_norm: jax.Array       # [L, hidden]
     q_norm: Optional[jax.Array]  # [L, head_dim] (qwen3)
     k_norm: Optional[jax.Array]
+    # gemma2/3 sandwich norms (post_norm becomes the post-ATTENTION-output
+    # norm; these wrap the MLP). None for the qwen/llama families.
+    pre_ffn_norm: Optional[jax.Array] = None   # [L, hidden]
+    post_ffn_norm: Optional[jax.Array] = None  # [L, hidden]
     # MoE (reference: MoEModule express/module/MoEModule.cpp re-designed as
     # an expert-stacked einsum; SURVEY.md §2.7/§2.11 expert parallel)
     router: Optional[jax.Array] = None        # [L, hidden, E] f32
@@ -170,6 +174,49 @@ def _moe_mlp(c: ModelConfig, h2: jax.Array, lp: LayerParams,
             out = out * gate
         y = y + out
     return y.reshape(b, t, hidden)
+
+
+def _gated_act(c: ModelConfig, gu: jax.Array) -> jax.Array:
+    """Gated MLP activation: SwiGLU (qwen/llama) or GeGLU-tanh (gemma)."""
+    gate, up = split_gate_up(gu)
+    if c.mlp_act == "gelu_tanh":
+        return jax.nn.gelu(gate.astype(jnp.float32),
+                           approximate=True).astype(up.dtype) * up
+    return swiglu(gate, up)
+
+
+def _attention_xla(c: ModelConfig, q, k_cache, v_cache, k_scale, v_scale,
+                   kv_len, start, window, bits):
+    """Dense masked attention in plain XLA — the path for configs the
+    Pallas kernels don't cover (gemma2 score softcapping, per-layer
+    alternating windows). `window` may be traced (scan-carried layer
+    index selects it)."""
+    b, h, t, d = q.shape
+    if k_cache.dtype == jnp.int8:
+        kf = kvcache.dequant_kv(k_cache, k_scale, bits)
+        vf = kvcache.dequant_kv(v_cache, v_scale, bits)
+    else:
+        kf, vf = k_cache, v_cache
+    hkv = kf.shape[1]
+    g = h // hkv
+    cap = kf.shape[2]
+    qg = q.reshape(b, hkv, g, t, d)
+    scale = c.query_scale if c.query_scale else d ** -0.5
+    s = jnp.einsum("bkgtd,bksd->bkgts", qg.astype(jnp.float32),
+                   kf.astype(jnp.float32)) * scale
+    if c.attn_softcap:
+        s = jnp.tanh(s / c.attn_softcap) * c.attn_softcap
+    pos_q = start + jnp.arange(t)                       # [t]
+    pos_k = jnp.arange(cap)                             # [cap]
+    ok = (pos_k[None] <= pos_q[:, None]) & (pos_k[None] < kv_len[0])
+    win_lo = pos_q[:, None] - window                    # traced ok
+    ok &= (window <= 0) | (pos_k[None] > win_lo)
+    if c.attention_sink:
+        ok |= pos_k[None] < c.attention_sink
+    s = jnp.where(ok[None, None, None], s, -jnp.inf)
+    a = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bkgts,bksd->bkgtd", a, vf.astype(jnp.float32))
+    return o.reshape(b, h, t, d).astype(q.dtype)
 
 
 def _add_lora(y, h, a, b, scaling):
@@ -295,6 +342,10 @@ def init_random_params(
         post_norm=jnp.ones((c.num_layers, c.hidden_size), jnp.float32),
         q_norm=jnp.ones((c.num_layers, c.head_dim), jnp.float32) if c.qk_norm else None,
         k_norm=jnp.ones((c.num_layers, c.head_dim), jnp.float32) if c.qk_norm else None,
+        pre_ffn_norm=jnp.ones((c.num_layers, c.hidden_size), jnp.float32)
+        if c.sandwich_norm else None,
+        post_ffn_norm=jnp.ones((c.num_layers, c.hidden_size), jnp.float32)
+        if c.sandwich_norm else None,
         **moe_fields,
     )
     emb = jax.random.normal(keys[4], (c.vocab_size, c.hidden_size), jnp.bfloat16) * scale
@@ -538,12 +589,19 @@ def forward(
     """
     c = config
     b, t = tokens.shape
+    # gemma configs run the scan path: per-layer alternating windows,
+    # score softcaps, and sandwich norms aren't wired into the unrolled
+    # in-place kernels (yet) — the scan body below handles every config
+    gemma_like = (c.sandwich_norm or c.mlp_act != "silu"
+                  or c.attn_softcap > 0 or c.swa_every_other)
     if layer_scan is None:
-        layer_scan = c.is_moe
+        layer_scan = c.is_moe or gemma_like
     if inputs_embeds is not None:
         x = inputs_embeds.astype(params.embedding.dtype)
     else:
         x = params.embedding[tokens]  # [B, T, hidden]
+    if c.embed_scale:  # gemma: normalizer cast to activation dtype (HF)
+        x = x * jnp.asarray(c.hidden_size ** 0.5, x.dtype)
     start = cache.length[0]       # uniform write offset (prefill)
     positions = cache.length[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
     if position_ids is not None and c.mrope_section is not None:
@@ -575,9 +633,9 @@ def forward(
 
     def layer_step(x, layer):
         if lora is not None:
-            lp, k_c, v_c, ks_c, vs_c, lo = layer
+            li, lp, k_c, v_c, ks_c, vs_c, lo = layer
         else:
-            lp, k_c, v_c, ks_c, vs_c = layer
+            li, lp, k_c, v_c, ks_c, vs_c = layer
             lo = None
         h = rms_norm(x, lp.input_norm, c.rms_norm_eps)
         qkv = dequant_matmul(h, lp.wqkv, interpret=interpret)
@@ -594,8 +652,16 @@ def forward(
             k_c, v_c, ks_c, vs_c = kvcache.append_layer(
                 k_c, v_c, ks_c, vs_c, k, v, start, bits=cache.bits
             )
-        att = _attention(c, q, k_c, v_c, ks_c, vs_c, kv_len, start, interpret,
-                         bits=cache.bits)
+        if gemma_like:
+            # per-layer window: gemma2 slides on even layers only
+            window = c.sliding_window
+            if c.swa_every_other:
+                window = jnp.where(li % 2 == 0, c.sliding_window, 0)
+            att = _attention_xla(c, q, k_c, v_c, ks_c, vs_c, kv_len, start,
+                                 window, cache.bits)
+        else:
+            att = _attention(c, q, k_c, v_c, ks_c, vs_c, kv_len, start,
+                             interpret, bits=cache.bits)
         if c.kv_rotate:
             att = rotate_heads(att, inverse=True)
         att = att.transpose(0, 2, 1, 3).reshape(b, t, q_dim)
@@ -607,16 +673,19 @@ def forward(
             o = _add_lora(o, att, lo.a_o, lo.b_o, lo.scaling)
         if tp_axis:
             o = jax.lax.psum(o, tp_axis)
+        if c.sandwich_norm:  # gemma2: post-attention norm on the OUTPUT
+            o = rms_norm(o, lp.post_norm, c.rms_norm_eps)
         x = x + o.astype(x.dtype)
 
-        h2 = rms_norm(x, lp.post_norm, c.rms_norm_eps)
+        h2 = rms_norm(x, lp.pre_ffn_norm if c.sandwich_norm else lp.post_norm,
+                      c.rms_norm_eps)
         if c.is_moe and lp.router is not None:
             d = _moe_mlp(c, h2, lp, tp_axis, interpret)
         else:
             gu = dequant_matmul(h2, lp.wgu, interpret=interpret)
             if lo is not None:
                 gu = _add_lora(gu, h2, lo.a_gu, lo.b_gu, lo.scaling)
-            act = swiglu(*split_gate_up(gu))
+            act = _gated_act(c, gu)
             d = dequant_matmul(
                 act, lp.wdown, interpret=interpret,
                 out_dtype=jnp.float32 if tp_axis else jnp.bfloat16,
@@ -625,6 +694,8 @@ def forward(
                 d = _add_lora(d, act, lo.a_down, lo.b_down, lo.scaling)
             if tp_axis:
                 d = jax.lax.psum(d, tp_axis)
+        if c.sandwich_norm:
+            d = rms_norm(d, lp.post_ffn_norm, c.rms_norm_eps)
         x = x + d.astype(x.dtype)
         return x, (k_c, v_c, ks_c, vs_c)
 
@@ -633,7 +704,8 @@ def forward(
             x, updated = layer_step(x, layer)
             return x, updated
 
-        xs = (params.layers, cache.k, cache.v, cache.k_scale, cache.v_scale)
+        xs = (jnp.arange(c.num_layers, dtype=jnp.int32), params.layers,
+              cache.k, cache.v, cache.k_scale, cache.v_scale)
         if lora is not None:
             xs = xs + (lora,)
         x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(scan_body, x, xs)
@@ -655,6 +727,9 @@ def forward(
     if not all_logits:
         x = x[:, -1]  # logits_index = -1 (reference llm.cpp io names)
     logits = head_logits(params, x, interpret=interpret, tp_axis=tp_axis)
+    if c.final_softcap:  # gemma2 logit softcapping
+        logits = (jnp.tanh(logits.astype(jnp.float32) / c.final_softcap)
+                  * c.final_softcap).astype(logits.dtype)
     return logits, new_cache
 
 

@@ -1,0 +1,112 @@
+"""Model-family converter coverage: Mistral and Phi-3 logits parity vs HF.
+
+Extends the qwen2/llama round-trip gate (tests/test_convert.py) to the
+other families the reference's llmexport.py model_mapper covers: Mistral
+(llama keys + sliding window) and Phi-3 (fused qkv_proj / gate_up_proj).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from mnn_tpu.runtime import kvcache
+from mnn_tpu.models.decoder import forward
+
+torch = pytest.importorskip("torch")
+
+
+def _roundtrip(model, src_dir, tmp_path, ids, rel_tol=0.06):
+    from mnn_tpu.convert.checkpoint import load_checkpoint
+    from mnn_tpu.convert.hf import convert_hf
+
+    out = str(tmp_path / "converted")
+    convert_hf(src_dir, out, bits=8, block_size=32)
+    config, params, rt = load_checkpoint(out)
+    with torch.no_grad():
+        want = model(torch.from_numpy(ids)).logits.float().numpy()
+    cache = kvcache.create(config.num_layers, 1, config.num_kv_heads, 64,
+                           config.head_dim, quantized=False)
+    got, _ = forward(params, config, jnp.asarray(ids, jnp.int32), cache,
+                     all_logits=True)
+    got = np.asarray(got, np.float32)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < rel_tol, rel
+    agree = (got.argmax(-1) == want.argmax(-1)).mean()
+    assert agree >= 0.75, agree
+    return config
+
+
+class TestMistral:
+    def test_logits_match(self, tmp_path):
+        from transformers import MistralConfig, MistralForCausalLM
+        cfg = MistralConfig(
+            vocab_size=96, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, sliding_window=None,
+            tie_word_embeddings=False, rope_theta=10000.0)
+        torch.manual_seed(0)
+        model = MistralForCausalLM(cfg).eval()
+        d = tmp_path / "mistral"
+        model.save_pretrained(d, safe_serialization=True)
+        ids = np.array([[3, 9, 27, 81, 1, 5, 25, 93]], np.int64)
+        out_cfg = _roundtrip(model, str(d), tmp_path, ids)
+        assert out_cfg.attention_bias is False
+
+    def test_sliding_window_config_parsed(self, tmp_path):
+        from mnn_tpu.models.config import ModelConfig
+        c = ModelConfig.from_hf_config({
+            "architectures": ["MistralForCausalLM"], "vocab_size": 64,
+            "hidden_size": 32, "intermediate_size": 64,
+            "num_hidden_layers": 1, "num_attention_heads": 2,
+            "sliding_window": 1024})
+        assert c.sliding_window == 1024
+
+
+class TestGemma2:
+    def test_logits_match(self, tmp_path):
+        """Gemma2: sandwich norms, (1+w) RMSNorm, gelu-tanh MLP, embedding
+        scaling, attn/final softcaps, query_pre_attn_scalar, alternating
+        sliding window."""
+        from transformers import Gemma2Config, Gemma2ForCausalLM
+        cfg = Gemma2Config(
+            vocab_size=96, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, max_position_embeddings=128,
+            query_pre_attn_scalar=16, sliding_window=4,
+            attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+            tie_word_embeddings=True, rope_theta=10000.0,
+            pad_token_id=0, bos_token_id=1, eos_token_id=2)
+        cfg._attn_implementation = "eager"
+        torch.manual_seed(2)
+        model = Gemma2ForCausalLM(cfg).eval()
+        d = tmp_path / "gemma2"
+        model.save_pretrained(d, safe_serialization=True)
+        # seq len 8 > sliding_window 4 so the alternating window matters
+        ids = np.array([[2, 8, 32, 64, 90, 11, 45, 7]], np.int64)
+        out_cfg = _roundtrip(model, str(d), tmp_path, ids)
+        assert out_cfg.sandwich_norm and out_cfg.swa_every_other
+        assert out_cfg.mlp_act == "gelu_tanh" and out_cfg.embed_scale
+        assert out_cfg.attn_softcap == 50.0 and out_cfg.final_softcap == 30.0
+        assert out_cfg.sliding_window == 4
+
+
+class TestPhi3:
+    def test_logits_match_fused_projections(self, tmp_path):
+        from transformers import Phi3Config, Phi3ForCausalLM
+        cfg = Phi3Config(
+            vocab_size=96, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, sliding_window=None,
+            tie_word_embeddings=False, rope_theta=10000.0,
+            pad_token_id=0, bos_token_id=1, eos_token_id=2)
+        torch.manual_seed(1)
+        model = Phi3ForCausalLM(cfg).eval()
+        # confirm the checkpoint really uses fused keys (the converter must
+        # slice them; regression guard against HF renaming)
+        keys = model.state_dict().keys()
+        assert any("qkv_proj" in k for k in keys)
+        assert any("gate_up_proj" in k for k in keys)
+        d = tmp_path / "phi3"
+        model.save_pretrained(d, safe_serialization=True)
+        ids = np.array([[2, 8, 32, 64, 90, 11, 45, 7]], np.int64)
+        _roundtrip(model, str(d), tmp_path, ids)
