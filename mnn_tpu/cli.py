@@ -202,7 +202,8 @@ def cmd_serve(args):
     from mnn_tpu.serve.server import serve
 
     llm = _build_llm(args)
-    serve(llm, host=args.host, port=args.port, batch=args.batch)
+    serve(llm, host=args.host, port=args.port, batch=args.batch,
+          snapshot_path=args.snapshot)
 
 
 def cmd_txt2img(args):
@@ -299,6 +300,9 @@ def main(argv=None):
 
     p = sub.add_parser("serve", help="OpenAI-compatible server")
     _add_model_args(p)
+    p.add_argument("--snapshot", default="",
+                   help="engine state file: resume from it on start, "
+                        "write it on shutdown (restartable serving)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=9090)
     p.add_argument("--batch", type=int, default=1,

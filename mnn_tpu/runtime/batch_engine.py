@@ -327,6 +327,112 @@ class BatchEngine:
             if not self.step():
                 time.sleep(idle_sleep)
 
+    # -- serving checkpoint / resume ----------------------------------------
+    # SURVEY.md §5.3/§5.4 TPU equivalents: "restartable serving loop from
+    # prefix/KV checkpoints". The whole engine state — KV cache, sampler
+    # ring, RNG, per-slot request bookkeeping, waiting queue — round-trips
+    # through one .npz, so a killed server resumes mid-decode without
+    # re-prefilling any in-flight request.
+
+    def snapshot(self, path: str) -> None:
+        import json as _json
+
+        from mnn_tpu.runtime.prefix_cache import _to_np
+
+        with self._lock:
+            data = {}
+            for name in ("k", "v"):
+                arr, dt = _to_np(getattr(self.cache, name))
+                data[name] = arr
+                data[name + "_dtype"] = np.asarray(dt)
+            if self.cache.quantized:
+                data["k_scale"] = np.asarray(self.cache.k_scale)
+                data["v_scale"] = np.asarray(self.cache.v_scale)
+            data["length"] = np.asarray(self.cache.length)
+            data["bits"] = np.asarray(self.cache.bits)
+            data["quantized"] = np.asarray(self.cache.quantized)
+            data["last_tokens"] = np.asarray(self.last_tokens)
+            typed_key = jnp.issubdtype(self.key.dtype, jax.dtypes.prng_key)
+            data["rng"] = np.asarray(jax.random.key_data(self.key)
+                                     if typed_key else self.key)
+            data["rng_typed"] = np.asarray(bool(typed_key))
+            data["sampler_recent"] = np.asarray(self.state.recent)
+            data["sampler_pos"] = np.asarray(self.state.pos)
+
+            def req_meta(r: Request):
+                return {"rid": r.rid, "token_ids": r.token_ids,
+                        "generated": r.generated,
+                        "max_new_tokens": r.max_new_tokens,
+                        "status": r.status.value, "slot": r.slot}
+
+            # drain + restore the waiting queue to serialize it
+            waiting = []
+            while not self.waiting.empty():
+                waiting.append(self.waiting.get_nowait())
+            for r in waiting:
+                self.waiting.put(r)
+            meta = {
+                "slots": [req_meta(r) if r is not None else None
+                          for r in self.slots],
+                "waiting": [req_meta(r) for r in waiting
+                            if r.status == Status.WAITING],
+                "next_rid": max([r.rid for r in self.requests.values()],
+                                default=-1) + 1,
+                "model": self.config.name,
+            }
+            data["meta"] = np.asarray(_json.dumps(meta))
+            np.savez(path, **data)
+
+    @classmethod
+    def resume(cls, path: str, config: ModelConfig, params: Params,
+               rt: RuntimeConfig, tokenizer=None, eos_ids=frozenset()
+               ) -> "BatchEngine":
+        """Rebuild a snapshotted engine; in-flight requests continue
+        decoding from their exact KV/sampler state (fresh output queues —
+        reconnecting clients re-subscribe via `requests[rid].out`)."""
+        import json as _json
+
+        eng = cls(config, params, rt, tokenizer=tokenizer, eos_ids=eos_ids)
+        z = np.load(path, allow_pickle=False)
+        if bool(z["quantized"]) != eng.cache.quantized or \
+                int(z["bits"]) != eng.cache.bits:
+            raise ValueError("snapshot KV quantization mode mismatch")
+        k, v = z["k"], z["v"]
+        if str(z["k_dtype"]) == "bfloat16":
+            k = jnp.asarray(k).view(jnp.bfloat16)
+            v = jnp.asarray(v).view(jnp.bfloat16)
+        if k.shape != eng.cache.k.shape:
+            raise ValueError(
+                f"snapshot cache shape {k.shape} != engine {eng.cache.k.shape}")
+        eng.cache = KVCache(
+            k=jnp.asarray(k), v=jnp.asarray(v),
+            k_scale=jnp.asarray(z["k_scale"]) if eng.cache.quantized else None,
+            v_scale=jnp.asarray(z["v_scale"]) if eng.cache.quantized else None,
+            length=jnp.asarray(z["length"]), bits=int(z["bits"]),
+        )
+        eng.last_tokens = jnp.asarray(z["last_tokens"])
+        typed = "rng_typed" in z.files and bool(z["rng_typed"])
+        eng.key = (jax.random.wrap_key_data(jnp.asarray(z["rng"]))
+                   if typed else jnp.asarray(z["rng"]))
+        eng.state = SamplerState(recent=jnp.asarray(z["sampler_recent"]),
+                                 pos=jnp.asarray(z["sampler_pos"]))
+        meta = _json.loads(str(z["meta"]))
+
+        def mk_req(m) -> Request:
+            r = Request(rid=m["rid"], token_ids=list(m["token_ids"]),
+                        max_new_tokens=m["max_new_tokens"],
+                        status=Status(m["status"]), slot=m["slot"])
+            r.generated = list(m["generated"])
+            eng.requests[r.rid] = r
+            return r
+
+        for i, m in enumerate(meta["slots"]):
+            eng.slots[i] = mk_req(m) if m is not None else None
+        for m in meta["waiting"]:
+            eng.waiting.put(mk_req(m))
+        eng._rid = itertools.count(meta["next_rid"])
+        return eng
+
     # -- blocking helper ---------------------------------------------------
 
     def generate(self, token_ids: List[int], max_new_tokens: int) -> List[int]:

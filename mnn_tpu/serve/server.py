@@ -230,8 +230,17 @@ def make_handler(llm, lock: threading.Lock, engine=None):
     return Handler
 
 
-def serve(llm, host: str = "127.0.0.1", port: int = 9090, batch: int = 1):
-    """batch > 1 enables the continuous-batching engine (multi-request)."""
+def serve(llm, host: str = "127.0.0.1", port: int = 9090, batch: int = 1,
+          snapshot_path: str = ""):
+    """batch > 1 enables the continuous-batching engine (multi-request).
+
+    snapshot_path makes the serving loop restartable (SURVEY.md §5.3): on
+    startup the engine resumes from the snapshot if present; on shutdown
+    the full engine state (KV cache, sampler, in-flight requests) is
+    written back, so a restarted server continues mid-decode.
+    """
+    import os
+
     lock = threading.Lock()
     engine = None
     stop = threading.Event()
@@ -241,10 +250,19 @@ def serve(llm, host: str = "127.0.0.1", port: int = 9090, batch: int = 1):
         from mnn_tpu.runtime.batch_engine import BatchEngine
 
         rt = _dc.replace(llm.rt, max_batch=batch)
-        engine = BatchEngine(
-            llm.config, llm.params, rt, tokenizer=llm.tokenizer,
-            eos_ids=getattr(llm.tokenizer, "eos_ids", set()),
-        )
+        eos = getattr(llm.tokenizer, "eos_ids", set())
+        if snapshot_path and os.path.exists(snapshot_path):
+            engine = BatchEngine.resume(
+                snapshot_path, llm.config, llm.params, rt,
+                tokenizer=llm.tokenizer, eos_ids=eos)
+            n_live = sum(1 for s in engine.slots if s is not None)
+            print(f"[mnn-tpu] resumed engine from {snapshot_path} "
+                  f"({n_live} in-flight requests)")
+        else:
+            engine = BatchEngine(
+                llm.config, llm.params, rt, tokenizer=llm.tokenizer,
+                eos_ids=eos,
+            )
         threading.Thread(
             target=engine.run_forever, args=(stop,), daemon=True
         ).start()
@@ -257,4 +275,7 @@ def serve(llm, host: str = "127.0.0.1", port: int = 9090, batch: int = 1):
         pass
     finally:
         stop.set()
+        if engine is not None and snapshot_path:
+            engine.snapshot(snapshot_path)
+            print(f"[mnn-tpu] engine state snapshotted to {snapshot_path}")
         httpd.server_close()
