@@ -130,15 +130,23 @@ def cmd_bench(args):
 
 
 def cmd_convert(args):
-    from mnn_tpu.convert.hf import convert_hf
-
+    if not (args.hf or args.gguf):
+        raise SystemExit("convert: provide --hf DIR or --gguf FILE")
     t0 = time.time()
-    convert_hf(
-        args.hf, args.out, bits=args.bits, block_size=args.block,
-        sym=args.sym, tp_shards=args.tp, act_bits=args.act_bits,
-        lm_head_bits=args.lm_head_bits,
-    )
-    print(f"converted {args.hf} -> {args.out} "
+    kw = dict(bits=args.bits, block_size=args.block, sym=args.sym,
+              tp_shards=args.tp, act_bits=args.act_bits,
+              lm_head_bits=args.lm_head_bits)
+    if args.gguf:
+        from mnn_tpu.convert.gguf import convert_gguf
+
+        convert_gguf(args.gguf, args.out, **kw)
+        src = args.gguf
+    else:
+        from mnn_tpu.convert.hf import convert_hf
+
+        convert_hf(args.hf, args.out, **kw)
+        src = args.hf
+    print(f"converted {src} -> {args.out} "
           f"(int{args.bits}, block {args.block}, {time.time()-t0:.1f}s)")
 
 
@@ -251,8 +259,10 @@ def main(argv=None):
     p.add_argument("--reps", type=int, default=3)
     p.set_defaults(fn=cmd_bench)
 
-    p = sub.add_parser("convert", help="convert a HF checkpoint")
-    p.add_argument("--hf", required=True)
+    p = sub.add_parser("convert", help="convert a HF or GGUF checkpoint")
+    p.add_argument("--hf", help="HF model directory")
+    p.add_argument("--gguf", help="llama.cpp GGUF file (dequantized + "
+                                  "requantized on our grid)")
     p.add_argument("--out", required=True)
     p.add_argument("--bits", type=int, default=4)
     p.add_argument("--block", type=int, default=128)

@@ -53,7 +53,7 @@ def _f32(x: np.ndarray) -> np.ndarray:
 
 
 def convert_hf(
-    model_dir: str,
+    model_dir: Optional[str],
     out_dir: str,
     *,
     bits: int = 4,
@@ -63,12 +63,21 @@ def convert_hf(
     act_bits: int = 16,
     lm_head_bits: int = 8,
     rt: Optional[RuntimeConfig] = None,
+    hf_config: Optional[dict] = None,
+    tensors: Optional[Dict[str, np.ndarray]] = None,
 ) -> None:
-    """Convert + quantize a local HF decoder checkpoint (qwen2/qwen3/llama)."""
-    with open(os.path.join(model_dir, "config.json")) as f:
-        hf_cfg = json.load(f)
-    config = ModelConfig.from_hf_config(hf_cfg, name=os.path.basename(model_dir.rstrip("/")))
-    t = _load_hf_tensors(model_dir)
+    """Convert + quantize an HF decoder checkpoint (qwen2/qwen3/llama/
+    mistral/phi3/gemma2 ...). `hf_config`/`tensors` override the on-disk
+    files — used by the GGUF importer to feed decoded tensors in memory."""
+    if hf_config is not None:
+        hf_cfg = hf_config
+    else:
+        with open(os.path.join(model_dir, "config.json")) as f:
+            hf_cfg = json.load(f)
+    name = (os.path.basename(model_dir.rstrip("/")) if model_dir
+            else hf_cfg.get("architectures", ["model"])[0])
+    config = ModelConfig.from_hf_config(hf_cfg, name=name)
+    t = tensors if tensors is not None else _load_hf_tensors(model_dir)
     c = config
     g = c.num_heads // c.num_kv_heads
     d = c.head_dim
