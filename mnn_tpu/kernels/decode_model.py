@@ -59,6 +59,11 @@ def supports(config, params, cache, batch: int) -> bool:
     c = config
     if c.is_moe or c.kv_rotate:
         return False
+    # gemma-family configs take the scan path (forward() forces it), but
+    # guard here too: the kernel hardcodes swiglu/plain-norm/no-softcap
+    if c.sandwich_norm or c.mlp_act != "silu" or c.attn_softcap \
+            or c.swa_every_other:
+        return False
     if cache.bits not in (8, 16):
         return False
     if batch > 8:
