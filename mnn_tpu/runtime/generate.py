@@ -73,6 +73,42 @@ def prefill_chunk(
     return logits[:, valid - 1], cache
 
 
+@functools.partial(jax.jit, static_argnames=("config", "valid"))
+def prefill_chunk_embeds(
+    params: Params,
+    config: ModelConfig,
+    embeds: jax.Array,    # [B, bucket, hidden] (padded)
+    cache: KVCache,
+    valid: int,
+) -> Tuple[jax.Array, KVCache]:
+    """Prefill chunk from input embeddings (multimodal splice path —
+    reference: Omni feeds spliced embeddings through forwardRaw)."""
+    b, t, _ = embeds.shape
+    tokens = jnp.zeros((b, t), jnp.int32)
+    if valid == t:
+        return forward(params, config, tokens, cache, inputs_embeds=embeds)
+    logits, cache = forward(params, config, tokens, cache,
+                            inputs_embeds=embeds, all_logits=True)
+    cache = dataclasses.replace(cache, length=cache.length - (t - valid))
+    return logits[:, valid - 1], cache
+
+
+def run_prefill_embeds(params, config, rt: RuntimeConfig, embeds, cache):
+    """Chunked, bucketed prefill over [B, T, hidden] embeddings."""
+    t = embeds.shape[1]
+    logits = None
+    off = 0
+    for bucket in prefill_buckets(t, rt.prefill_chunk):
+        valid = min(bucket, t - off)
+        chunk = embeds[:, off: off + valid]
+        if valid < bucket:
+            chunk = jnp.pad(chunk, ((0, 0), (0, bucket - valid), (0, 0)))
+        logits, cache = prefill_chunk_embeds(params, config, chunk, cache,
+                                             valid)
+        off += valid
+    return logits, cache
+
+
 def run_prefill(params, config, rt: RuntimeConfig, tokens, cache):
     """Chunked, bucketed prefill over [B, T] tokens."""
     t = tokens.shape[1]
