@@ -173,7 +173,14 @@ class BatchEngine:
         rt: RuntimeConfig,
         tokenizer=None,
         eos_ids=frozenset(),
+        mesh=None,
+        dp_axis: str = "dp",
     ):
+        """mesh + dp_axis: shard the BATCH dimension of the shared KV cache
+        and sampler state across data-parallel devices/hosts — continuous
+        batching placed across a pod slice (BASELINE config 5's cross-host
+        serving; the scheduler stays host-side, decode runs GSPMD-sharded).
+        rt.max_batch must divide evenly across the dp axis."""
         self.config = config
         self.params = params
         self.rt = rt
@@ -185,6 +192,35 @@ class BatchEngine:
             config.head_dim, quantized=rt.kv_quant, kv_bits=rt.kv_bits,
         )
         self.state = sampler.make_state(b)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ndp = mesh.shape[dp_axis]
+            if b % ndp:
+                raise ValueError(f"max_batch {b} not divisible by dp={ndp}")
+
+            def shard(x, batch_axis):
+                spec = [None] * x.ndim
+                spec[batch_axis] = dp_axis
+                return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+            self.cache = dataclasses.replace(
+                self.cache,
+                k=shard(self.cache.k, 1), v=shard(self.cache.v, 1),
+                k_scale=(shard(self.cache.k_scale, 1)
+                         if self.cache.k_scale is not None else None),
+                v_scale=(shard(self.cache.v_scale, 1)
+                         if self.cache.v_scale is not None else None),
+                length=shard(self.cache.length, 0),
+            )
+            self.state = dataclasses.replace(
+                self.state, recent=shard(self.state.recent, 0))
+            # replicate weights across the dp axis explicitly
+            rep = NamedSharding(mesh, P())
+            self.params = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, rep) if hasattr(a, "shape")
+                else a, params)
         self.key = jax.random.PRNGKey(rt.seed)
         self.last_tokens = jnp.zeros((b,), jnp.int32)
         self.slots: List[Optional[Request]] = [None] * b

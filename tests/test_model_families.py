@@ -90,6 +90,28 @@ class TestGemma2:
         assert out_cfg.sliding_window == 4
 
 
+class TestQwen3Moe:
+    def test_logits_match(self, tmp_path):
+        """Qwen3-MoE (BASELINE config 5): routed experts without a shared
+        expert, qk-norm, top-k prob normalization."""
+        from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+        cfg = Qwen3MoeConfig(
+            vocab_size=96, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, num_experts=4, num_experts_per_tok=2,
+            moe_intermediate_size=32, decoder_sparse_step=1,
+            norm_topk_prob=True, tie_word_embeddings=False,
+            max_position_embeddings=64, rope_theta=10000.0)
+        torch.manual_seed(3)
+        model = Qwen3MoeForCausalLM(cfg).eval()
+        d = tmp_path / "q3moe"
+        model.save_pretrained(d, safe_serialization=True)
+        ids = np.array([[2, 8, 32, 64, 90, 11]], np.int64)
+        out_cfg = _roundtrip(model, str(d), tmp_path, ids, rel_tol=0.08)
+        assert out_cfg.is_moe and out_cfg.qk_norm
+        assert out_cfg.shared_expert_intermediate_size == 0
+
+
 class TestPhi3:
     def test_logits_match_fused_projections(self, tmp_path):
         from transformers import Phi3Config, Phi3ForCausalLM
