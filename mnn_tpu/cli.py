@@ -183,6 +183,32 @@ def cmd_bench_cnn(args):
         }))
 
 
+def cmd_eval_cls(args):
+    # ImageNet-style top-k accuracy ≈ the reference's
+    # tools/evaluation/classficationTopkEval.cpp
+    import jax
+    import jax.numpy as jnp
+
+    from mnn_tpu.convert.torch_fx import convert_torch_module
+    from mnn_tpu.models.vision import VISION_MODELS
+    from mnn_tpu.runtime.classify import eval_folder
+
+    import torch
+
+    torch.manual_seed(0)
+    mod = VISION_MODELS[args.net]().eval()
+    if args.weights:
+        mod.load_state_dict(torch.load(args.weights, map_location="cpu"))
+    fn, params = convert_torch_module(mod)
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        params)
+    r = eval_folder(lambda x: fn(params, x.astype(jnp.bfloat16)), args.dir,
+                    size=args.size, k=args.k, batch_size=args.batch,
+                    limit=args.limit)
+    print(json.dumps({"net": args.net, **r}))
+
+
 def cmd_eval(args):
     llm = _build_llm(args)
     if args.file:
@@ -280,6 +306,17 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--size", type=int, default=224)
     p.set_defaults(fn=cmd_bench_cnn)
+
+    p = sub.add_parser("eval-cls", help="top-k classification accuracy over "
+                                        "an ImageFolder tree")
+    p.add_argument("--dir", required=True)
+    p.add_argument("--net", default="mobilenet_v2")
+    p.add_argument("--weights", default="", help="torch state_dict .pt")
+    p.add_argument("--size", type=int, default=224)
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--limit", type=int, default=None)
+    p.set_defaults(fn=cmd_eval_cls)
 
     p = sub.add_parser("eval", help="perplexity over a text file")
     _add_model_args(p)
