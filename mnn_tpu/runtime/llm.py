@@ -274,3 +274,67 @@ class Llm:
     def response(self, prompt: str, **kw) -> str:
         """Chat-style single-turn response (reference Llm::response)."""
         return self.generate(prompt, use_template=True, **kw)
+
+    # -- embedding / reranking (reference: embedding_demo / reranker_demo,
+    # transformers/llm/engine/demo/) --------------------------------------
+
+    def embed(self, text: Optional[str] = None, *,
+              token_ids: Optional[List[int]] = None,
+              pooling: str = "last") -> np.ndarray:
+        """Sentence embedding from the decoder's final hidden states.
+
+        pooling: "last" (last token, the LLM-embedder convention) or
+        "mean" (masked mean). L2-normalized. Runs on a throwaway cache —
+        the chat KV state is untouched.
+        """
+        from mnn_tpu.models.decoder import forward
+        from mnn_tpu.models.layers import rms_norm
+
+        if token_ids is None:
+            token_ids = self.tokenizer.encode(text or "")
+        if not token_ids:
+            token_ids = [0]
+        cache = kvcache.create(
+            self.config.num_layers, 1, self.config.num_kv_heads,
+            max(64, 1 << (len(token_ids) - 1).bit_length()),
+            self.config.head_dim, quantized=False,
+        )
+        tokens = jnp.asarray([token_ids], jnp.int32)
+        hidden, _ = forward(self.params, self.config, tokens, cache,
+                            return_hidden=True)
+        hidden = rms_norm(hidden, self.params.final_norm,
+                          self.config.rms_norm_eps)
+        if pooling == "mean":
+            v = hidden[0].astype(jnp.float32).mean(0)
+        else:
+            v = hidden[0, -1].astype(jnp.float32)
+        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-9)
+        return np.asarray(v)
+
+    def rerank(self, query: str, documents: List[str], *,
+               yes_token_id: Optional[int] = None,
+               template: str = "Query: {q}\nDocument: {d}\nRelevant:"
+               ) -> List[float]:
+        """Relevance scores for (query, doc) pairs.
+
+        With `yes_token_id`: the score is that token's log-probability
+        after the filled template (the qwen-reranker style the reference's
+        reranker_demo drives). Otherwise: cosine similarity of embeddings.
+        """
+        if yes_token_id is None:
+            qv = self.embed(query)
+            return [float(np.dot(qv, self.embed(d))) for d in documents]
+        from mnn_tpu.models.decoder import forward
+
+        scores = []
+        for d in documents:
+            ids = self.tokenizer.encode(template.format(q=query, d=d)) or [0]
+            cache = kvcache.create(
+                self.config.num_layers, 1, self.config.num_kv_heads,
+                max(64, 1 << (len(ids) - 1).bit_length()),
+                self.config.head_dim, quantized=False)
+            logits, _ = forward(self.params, self.config,
+                                jnp.asarray([ids], jnp.int32), cache)
+            logp = jax.nn.log_softmax(logits[0].astype(jnp.float32))
+            scores.append(float(logp[yes_token_id]))
+        return scores
