@@ -25,7 +25,7 @@ import time
 
 import numpy as np
 
-PP, TG, REPS = 512, 128, 3
+PP, TG, REPS = 512, 128, 5
 BASELINE_DECODE = 51.36   # tok/s, reference published (see module docstring)
 BASELINE_PREFILL = 234.51
 
@@ -69,9 +69,11 @@ def main():
         return time.perf_counter() - t0
 
     queue_prefill(1)  # compile
-    t1 = min(queue_prefill(1) for _ in range(REPS))
-    t5 = min(queue_prefill(5) for _ in range(REPS))
-    prefill_s = (t5 - t1) / 4
+    # deeper queues: per-run tunnel jitter is comparable to one prefill,
+    # so difference depths 2 and 12 (slope over 10 runs) and min over reps
+    t_lo = min(queue_prefill(2) for _ in range(REPS))
+    t_hi = min(queue_prefill(12) for _ in range(REPS))
+    prefill_s = (t_hi - t_lo) / 10
     prefill_tok_s = PP / prefill_s
 
     # --- decode: tg128 after pp512, step-count differencing ----------------

@@ -341,7 +341,7 @@ def main(argv=None):
     p.add_argument("--cfg", type=float, default=7.5)
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--scheduler", default="ddim",
-                   choices=["ddim", "ddpm", "euler"])
+                   choices=["ddim", "ddpm", "euler", "flow_match"])
     p.add_argument("--out", default="out.png")
     p.set_defaults(fn=cmd_txt2img)
 
