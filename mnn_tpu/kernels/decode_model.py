@@ -395,7 +395,9 @@ def fused_decode_model(
     sin: jax.Array,
     *,
     config,
-    block_kv: int = 512,
+    block_kv: int = 1024,
+    gu_cap: int = 4992,
+    dn_cap: int = 4992,
     interpret: bool = False,
 ):
     """Run all decoder layers for one decode position in one kernel.
@@ -432,9 +434,18 @@ def fused_decode_model(
     # MLP chunking (all multiples of 128 dividing the dimension)
     two_i = 2 * i_dim
     # chunks must span whole 64-block gate/up pairs -> multiples of 128
-    bn_gu = largest_divisor_leq(two_i, 4992, 128)
+    # VMEM-aware chunk caps: each revolving weight buffer (x2 buffers)
+    # stays under ~2.5 MB so the whole pipeline fits the ~16 MB VMEM.
+    # Fewer, larger phases measure faster (each grid step costs ~0.8 us of
+    # fixed overhead on chip) until buffers crowd VMEM — whole-gu (8.7 MB
+    # buffered) measured 15% SLOWER than two chunks, so the budget binds.
+    buf_budget = 2_500_000
+    _pack = 2 if bits == 4 else 1
+    gu_eff = min(gu_cap, max(128, buf_budget * _pack // h))
+    dn_eff = min(dn_cap, max(bs_i, buf_budget * _pack // h))
+    bn_gu = largest_divisor_leq(two_i, gu_eff, 128)
     n_gu = two_i // bn_gu
-    bk_dn = largest_divisor_leq(i_dim, 2560, bs_i)
+    bk_dn = largest_divisor_leq(i_dim, dn_eff, bs_i)
     n_dn = i_dim // bk_dn
 
     WO = 1 + nkv
