@@ -90,6 +90,43 @@ class TestGemma2:
         assert out_cfg.sliding_window == 4
 
 
+class TestGemma2Decode:
+    def test_incremental_decode_matches_prefill(self):
+        """Gemma's scan path with traced alternating windows must give the
+        same logits token-by-token (decode, t=1) as one full prefill —
+        the reference's TransformerTest property, on the gemma config."""
+        import dataclasses
+        import jax
+        from mnn_tpu.models.config import PRESETS
+        from mnn_tpu.models.decoder import forward, init_random_params
+        from mnn_tpu.runtime import kvcache
+
+        cfg = dataclasses.replace(
+            PRESETS["tiny"], mlp_act="gelu_tanh", embed_scale=True,
+            sandwich_norm=True, attn_softcap=30.0, final_softcap=20.0,
+            query_scale=0.2, swa_every_other=True, sliding_window=4,
+            attention_bias=False)
+        params = init_random_params(cfg, jax.random.PRNGKey(0), quant_bits=8,
+                                    scale=0.05)
+        ids = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+
+        def mkc():
+            return kvcache.create(cfg.num_layers, 1, cfg.num_kv_heads, 16,
+                                  cfg.head_dim, quantized=False)
+
+        full, _ = forward(params, cfg, jnp.asarray([ids], jnp.int32), mkc(),
+                          all_logits=True)
+        cache = mkc()
+        step_logits = []
+        for t in ids:
+            lg, cache = forward(params, cfg, jnp.asarray([[t]], jnp.int32),
+                                cache)
+            step_logits.append(np.asarray(lg[0], np.float32))
+        full = np.asarray(full[0], np.float32)
+        np.testing.assert_allclose(np.stack(step_logits), full,
+                                   atol=2e-2, rtol=2e-2)
+
+
 class TestQwen3Moe:
     def test_logits_match(self, tmp_path):
         """Qwen3-MoE (BASELINE config 5): routed experts without a shared
