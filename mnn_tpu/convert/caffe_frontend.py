@@ -110,11 +110,16 @@ def _pool(layer, blobs, x):
         return jax.lax.reduce_window(xp, -jnp.inf, jax.lax.max, dims, strides,
                                      "VALID")
     # AVE: zero-pad; denominator counts window ∩ padded image (caffe rule:
-    # pad positions count, the ceil overhang beyond pad does not)
+    # pad positions count, the ceil overhang beyond pad does not). The
+    # padded extent is h + ph + eh, which can be SHORTER than h + 2*ph
+    # (FLOOR mode clips the pad), so build the count mask at that extent.
     xp = jnp.pad(x, ((0, 0), (0, 0), (ph, eh), (pw, ew)))
     s = jax.lax.reduce_window(xp, 0.0, jax.lax.add, dims, strides, "VALID")
-    mask = jnp.pad(jnp.ones((1, 1, h + 2 * ph, w + 2 * pw), x.dtype),
-                   ((0, 0), (0, 0), (0, eh - ph), (0, ew - pw)))
+    mh = min(h + 2 * ph, h + ph + eh)
+    mw = min(w + 2 * pw, w + pw + ew)
+    mask = jnp.pad(jnp.ones((1, 1, mh, mw), x.dtype),
+                   ((0, 0), (0, 0), (0, h + ph + eh - mh),
+                    (0, w + pw + ew - mw)))
     cnt = jax.lax.reduce_window(mask, 0.0, jax.lax.add, dims, strides, "VALID")
     return s / cnt
 
@@ -191,8 +196,14 @@ def _eltwise(layer, blobs, *xs):
 def _reshape(layer, blobs, x):
     p = layer.reshape_param
     dims = [int(d) for d in p.shape.dim]
-    new = [x.shape[i] if d == 0 else d for i, d in enumerate(dims)]
-    return x.reshape(new)
+    axis = p.axis if p.axis >= 0 else x.ndim + p.axis
+    num = p.num_axes if p.num_axes >= 0 else x.ndim - axis
+    # caffe semantics: only dims [axis, axis+num) are reshaped; 0 copies
+    # the corresponding source dim within that span
+    span = x.shape[axis: axis + num]
+    new = [span[i] if d == 0 else d for i, d in enumerate(dims)]
+    return x.reshape(list(x.shape[:axis]) + new
+                     + list(x.shape[axis + num:]))
 
 
 def _flatten(layer, blobs, x):

@@ -267,11 +267,13 @@ _BLK_MAP = {
 
 
 def _unpermute(w: np.ndarray, n_heads: int) -> np.ndarray:
-    """Undo llama.cpp's rope permutation: it stores Q/K rows with each
-    head's dims interleaved (d/2 pairs); HF keeps halves contiguous."""
+    """Undo llama.cpp's rope permutation. llama.cpp stores Q/K as
+    `w.reshape(heads, 2, hd/2, in).swapaxes(1, 2)` of the HF layout
+    (interleaving the two rope halves); the inverse regroups pairs back
+    into contiguous halves."""
     out_dim, in_dim = w.shape
     hd = out_dim // n_heads
-    return (w.reshape(n_heads, 2, hd // 2, in_dim)
+    return (w.reshape(n_heads, hd // 2, 2, in_dim)
             .transpose(0, 2, 1, 3).reshape(out_dim, in_dim))
 
 

@@ -169,9 +169,19 @@ def _dwconv(node, x, w):
 def _deconv(node, out_shape, w, x):
     _nhwc(node)
     s = _a(node, "strides", [1, 1, 1, 1])
-    return jax.lax.conv_transpose(
+    out = jax.lax.conv_transpose(
         x, w, strides=(int(s[1]), int(s[2])), padding=_pad_attr(node),
         dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True)
+    # TF derives SAME padding from the requested output shape (input 0);
+    # crop symmetrically when conv_transpose over-produces (odd sizes)
+    oh, ow = int(np.asarray(out_shape)[1]), int(np.asarray(out_shape)[2])
+    if out.shape[1] < oh or out.shape[2] < ow:
+        raise NotImplementedError(
+            f"Conv2DBackpropInput: produced {out.shape[1:3]}, "
+            f"requested {(oh, ow)}")
+    top = (out.shape[1] - oh) // 2
+    left = (out.shape[2] - ow) // 2
+    return out[:, top: top + oh, left: left + ow]
 
 
 def _pool(kind):

@@ -89,10 +89,13 @@ class _FB:
         return self.buf[sp + 4: sp + 4 + n].decode("utf-8", "replace")
 
 
+# TensorType enum per the public tflite schema: 0=F32 1=F16 2=I32 3=U8
+# 4=I64 5=STRING 6=BOOL 7=I16 8=COMPLEX64 9=I8 10=F64 11=COMPLEX128
+# 12=U64 13=RESOURCE 14=VARIANT 15=U32 16=U16 17=INT4 18=BF16
 _TENSOR_DTYPES = {0: np.float32, 1: np.float16, 2: np.int32, 3: np.uint8,
                   4: np.int64, 6: np.bool_, 7: np.int16, 9: np.int8,
-                  10: np.float64, 11: np.int8, 13: np.uint16, 16: np.uint32,
-                  17: np.uint64}
+                  10: np.float64, 12: np.uint64, 15: np.uint32,
+                  16: np.uint16}
 
 
 class _Tensor:

@@ -87,14 +87,18 @@ def _block(p: Dict, pre: str, x, ctx, c_vec, cfg: MMDiTConfig,
     b, nx, d = x.shape
     mod_x = linear(silu(c_vec), p[pre + "norm1.linear.weight"],
                    p[pre + "norm1.linear.bias"])
-    sx = jnp.split(mod_x, 6, -1)  # shift/scale/gate (attn), ... (mlp)
+    sx = jnp.split(mod_x, 6, -1)  # AdaLNZero order: shift/scale/gate x2
     n_ctx_mod = 2 if last else 6
     mod_c = linear(silu(c_vec), p[pre + "norm1_context.linear.weight"],
                    p[pre + "norm1_context.linear.bias"])
     sc = jnp.split(mod_c, n_ctx_mod, -1)
 
     hx = _modulate(layer_norm(x, None, None), sx[0], sx[1])
-    hc = _modulate(layer_norm(ctx, None, None), sc[0], sc[1])
+    if last:
+        # context_pre_only uses AdaLayerNormContinuous: (scale, shift)
+        hc = _modulate(layer_norm(ctx, None, None), sc[1], sc[0])
+    else:
+        hc = _modulate(layer_norm(ctx, None, None), sc[0], sc[1])
 
     q = jnp.concatenate(
         [linear(hx, p[pre + "attn.to_q.weight"], p[pre + "attn.to_q.bias"]),
@@ -179,7 +183,8 @@ def mmdit_forward(p: Dict, cfg: MMDiTConfig, latent: jax.Array,
 
     mod = linear(silu(c_vec), p["norm_out.linear.weight"],
                  p["norm_out.linear.bias"])
-    shift, scale = jnp.split(mod, 2, -1)
+    # AdaLayerNormContinuous chunks as (scale, shift) — diffusers order
+    scale, shift = jnp.split(mod, 2, -1)
     x = _modulate(layer_norm(x, None, None), shift, scale)
     x = linear(x, p["proj_out.weight"], p["proj_out.bias"])
     # unpatchify

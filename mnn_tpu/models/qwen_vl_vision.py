@@ -148,7 +148,6 @@ def qwen_vl_vision_forward(p: Dict[str, jax.Array], cfg: QwenVLVisionConfig,
     widx, window_id, image_id = _window_index(cfg, grid_thw)
     # expand merge-unit permutation to token granularity
     tok_perm = (widx[:, None] * mm + np.arange(mm)[None]).reshape(-1)
-    inv_perm = np.argsort(tok_perm)
     # token-level window/image ids (after permutation)
     tok_window = np.repeat(window_id, mm)
     tok_image = np.repeat(image_id, mm)

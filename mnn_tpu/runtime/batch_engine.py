@@ -417,7 +417,10 @@ class BatchEngine:
                 "model": self.config.name,
             }
             data["meta"] = np.asarray(_json.dumps(meta))
-            np.savez(path, **data)
+            # write through a file handle: np.savez(str) appends ".npz",
+            # which would break resume()'s exact-path lookup
+            with open(path, "wb") as fh:
+                np.savez(fh, **data)
 
     @classmethod
     def resume(cls, path: str, config: ModelConfig, params: Params,

@@ -100,6 +100,40 @@ class TestLeNetStyle:
         assert got.shape == (1, 2, 3, 3)
         np.testing.assert_allclose(got, ref, atol=1e-6)
 
+    def test_ave_pool_floor_mode_with_pad(self):
+        """FLOOR rounding clips the right pad (eh < ph) — regression for
+        the negative-pad crash."""
+        net = _net((1, 2, 6, 6))
+        pool = net.layer.add()
+        pool.name, pool.type = "p", "Pooling"
+        pool.bottom.append("data"); pool.top.append("p")
+        pool.pooling_param.pool = C.PoolingParameter.AVE
+        pool.pooling_param.kernel_size = 3
+        pool.pooling_param.stride = 2
+        pool.pooling_param.pad = 1
+        pool.pooling_param.round_mode = C.PoolingParameter.FLOOR
+        fn, params = convert_caffe(net)
+        x = np.random.default_rng(8).standard_normal((1, 2, 6, 6), np.float32)
+        got = np.asarray(fn(params, jnp.asarray(x)))
+        ref = torch.nn.functional.avg_pool2d(
+            torch.from_numpy(x), 3, 2, padding=1, ceil_mode=False,
+            count_include_pad=True).numpy()
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_reshape_axis_span(self):
+        """Reshape with axis=1 must keep the leading axes untouched."""
+        net = _net((2, 6, 2, 2))
+        rs = net.layer.add()
+        rs.name, rs.type = "r", "Reshape"
+        rs.bottom.append("data"); rs.top.append("r")
+        rs.reshape_param.shape.dim.extend([0, -1])
+        rs.reshape_param.axis = 1
+        fn, params = convert_caffe(net)
+        x = np.random.default_rng(9).standard_normal((2, 6, 2, 2), np.float32)
+        got = np.asarray(fn(params, jnp.asarray(x)))
+        assert got.shape == (2, 6, 4)
+        np.testing.assert_allclose(got, x.reshape(2, 6, 4))
+
     def test_ave_pool_with_pad(self):
         net = _net((1, 3, 8, 8))
         pool = net.layer.add()

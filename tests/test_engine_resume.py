@@ -88,6 +88,19 @@ class TestEngineResume:
         eng2.run_until_idle()
         assert eng2.requests[r.rid].generated == want
 
+    def test_extensionless_path_roundtrips(self, params, tmp_path):
+        """np.savez appends .npz to bare str paths; snapshot() must write
+        EXACTLY the given path or serve()'s resume check misses it."""
+        import os
+        eng = BatchEngine(CFG, params, _rt())
+        eng.submit([1, 2], 4)
+        eng.step()
+        snap = str(tmp_path / "state")   # no extension, like --snapshot state
+        eng.snapshot(snap)
+        assert os.path.exists(snap) and not os.path.exists(snap + ".npz")
+        eng2 = BatchEngine.resume(snap, CFG, params, _rt())
+        eng2.run_until_idle()
+
     def test_mode_mismatch_rejected(self, params, tmp_path):
         eng = BatchEngine(CFG, params, _rt())
         eng.submit([1, 2], 4)

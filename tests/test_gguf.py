@@ -199,11 +199,13 @@ class TestEndToEndLlama:
         model = LlamaForCausalLM(cfg).eval()
         sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
 
-        def permute(w, heads):  # llama.cpp storage permutation
+        def permute(w, heads):
+            # llama.cpp's convert-time permutation, transcribed from its
+            # convert script: reshape(heads, 2, hd/2, in).swapaxes(1, 2)
             od, ind = w.shape
             hd = od // heads
-            return (w.reshape(heads, hd // 2, 2, ind)
-                    .transpose(0, 2, 1, 3).reshape(od, ind))
+            return (w.reshape(heads, 2, hd // 2, ind)
+                    .swapaxes(1, 2).reshape(od, ind))
 
         tensors = []
         kvs = b""
