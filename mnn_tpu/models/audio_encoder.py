@@ -43,7 +43,14 @@ def _conv1d(x, w, b, stride=1):
 
 def audio_encoder_forward(p: Dict[str, jax.Array], cfg: AudioEncoderConfig,
                           mel: jax.Array) -> jax.Array:
-    """mel [B, n_mels, T] (whisper_fbank layout) -> features [B, T//2, D]."""
+    """mel [B, n_mels, T] (whisper_fbank layout) -> features [B, T//2, D].
+
+    Inputs longer than the positional table (30 s for whisper configs) are
+    truncated to max_positions, matching Whisper's 30-second chunking
+    contract rather than crashing on the position add.
+    """
+    if mel.shape[2] > 2 * cfg.max_positions:
+        mel = mel[:, :, : 2 * cfg.max_positions]
     x = mel.transpose(0, 2, 1)  # [B, T, n_mels]
     x = jax.nn.gelu(_conv1d(x, p["conv1.weight"], p["conv1.bias"]),
                     approximate=False)

@@ -292,22 +292,45 @@ class BatchEngine:
                 need_logits=(bi == len(buckets) - 1),
             )
             off += valid
-        # first token: greedy over the last valid position's logits
-        # (logits are for the final position of the last chunk; padded tails
-        # were rolled back but all_logits isn't needed for T=valid buckets)
-        first = int(np.asarray(jnp.argmax(logits[0])))
+        if req.status == Status.CANCELLED:  # cancelled mid-prefill
+            self._free_slot(req)
+            return True
+        # first token: sampled through the configured chain on this slot's
+        # logits row (Llm.stream parity; was greedy argmax). The token is
+        # recorded at ring position pos-1 so the repetition penalty sees it
+        # without advancing the batch-shared ring pointer.
+        self.key, sub = jax.random.split(self.key)
+        row_state = SamplerState(recent=self.state.recent[slot: slot + 1],
+                                 pos=self.state.pos)
+        tok1, row2 = sampler.sample(
+            logits, sub, row_state, sampler=self.rt.sampler,
+            temperature=self.rt.temperature, top_k=self.rt.top_k,
+            top_p=self.rt.top_p, min_p=self.rt.min_p, penalty=self.rt.penalty)
+        first = int(np.asarray(tok1[0]))
+        w = self.state.recent.shape[1]
+        prev_pos = (int(np.asarray(self.state.pos)) - 1) % w
+        self.state = dataclasses.replace(
+            self.state,
+            recent=self.state.recent.at[slot, prev_pos].set(first))
         self.last_tokens = self.last_tokens.at[slot].set(first)
         req.generated.append(first)
         req.first_token_at = time.perf_counter()
         req.out.put(first)
         req.status = Status.DECODE
-        self._maybe_finish(req, first)
+        self._maybe_finish(req, first, ctx=len(ids))
         return True
 
-    def _maybe_finish(self, req: Request, tok: int):
-        if req.status in (Status.DONE, Status.CANCELLED):
+    def _free_slot(self, req: Request):
+        if req.slot >= 0:
+            self.slots[req.slot] = None
+            req.slot = -1
+
+    def _maybe_finish(self, req: Request, tok: int, ctx: int):
+        if req.status == Status.CANCELLED:
+            self._free_slot(req)
             return
-        ctx = int(self.cache.length[req.slot]) if req.slot >= 0 else 0
+        if req.status == Status.DONE:
+            return
         if (
             tok in self.eos_ids
             or len(req.generated) >= req.max_new_tokens
@@ -316,20 +339,37 @@ class BatchEngine:
             req.status = Status.DONE
             req.finished_at = time.perf_counter()
             req.out.put(None)
-            if req.slot >= 0:
-                self.slots[req.slot] = None
-                req.slot = -1
+            self._free_slot(req)
 
     def step(self) -> bool:
-        """One scheduling iteration. Returns True if any work was done."""
+        """One scheduling iteration. Returns True if any work was done.
+
+        prefill_priority decides WHEN waiting requests are admitted (before
+        or after the decode block), never WHETHER — decode-priority mode
+        still admits once the in-flight block has been stepped."""
+        with self._lock:
+            return self._step_locked()
+
+    def _step_locked(self) -> bool:
         admitted = False
-        while self.prefill_priority and self._admit_one():
-            admitted = True
+        # reap cancellations so their slots free up
+        for req in list(self.slots):
+            if req is not None and req.status == Status.CANCELLED:
+                self._free_slot(req)
+        if self.prefill_priority:
+            while self._admit_one():
+                admitted = True
         active = [r for r in self.slots if r is not None]
         if not active:
+            if not self.prefill_priority:
+                while self._admit_one():
+                    admitted = True
             return admitted
 
         steps = self.steps_per_block
+        base_lens = {r.rid: int(n) for r, n in
+                     zip(self.slots, np.asarray(self.cache.length))
+                     if r is not None}
         toks, self.cache, self.state, self.key = _decode_block(
             self.params, self.config, self.cache, self.last_tokens,
             self.state, self.key,
@@ -346,9 +386,15 @@ class BatchEngine:
                 tok = int(toks_np[req.slot, j])
                 req.generated.append(tok)
                 req.out.put(tok)
-                self._maybe_finish(req, tok)
+                # context length derived host-side: one device read per
+                # block (base_lens), not one per token
+                self._maybe_finish(req, tok,
+                                   ctx=base_lens[req.rid] + j + 1)
                 if req.status != Status.DECODE:
                     break
+        if not self.prefill_priority:  # decode-priority: admit after
+            while self._admit_one():
+                pass
         return True
 
     def run_until_idle(self):

@@ -68,15 +68,19 @@ def eval_folder(model_fn: Callable, root: str, *, size: int = 224,
                 k: int = 5, batch_size: int = 32,
                 limit: Optional[int] = None) -> dict:
     """Top-k accuracy over an ImageFolder layout (root/<class>/<img>...),
-    classes sorted alphabetically (torchvision convention)."""
+    classes sorted alphabetically. Uses the standard eval recipe
+    (resize-short-side + center-crop + normalize) on the ORIGINAL images,
+    via preprocess_classification."""
+    from PIL import Image
+
     from mnn_tpu.train.datasets import ImageFolderDataset
 
     ds = ImageFolderDataset(root, size=(size, size))
     idx = range(len(ds) if limit is None else min(limit, len(ds)))
     images, labels = [], []
     for i in idx:
-        img, lab = ds[i]
-        x = (np.asarray(img, np.float32) / 255.0 - _MEAN) / _STD
-        images.append(x.transpose(2, 0, 1))
+        path, lab = ds.samples[i]
+        img = np.asarray(Image.open(path).convert("RGB"))
+        images.append(preprocess_classification(img, size=size))
         labels.append(int(lab))
     return topk_eval(model_fn, images, labels, k=k, batch_size=batch_size)

@@ -188,7 +188,9 @@ class Llm:
             produced += pending_steps
             self._key = key
             stop = produced >= max_new
+            consumed = 0
             for t in block:
+                consumed += 1
                 self.perf.gen_len += 1
                 yield t
                 if t in eos:
@@ -196,6 +198,11 @@ class Llm:
                     break
             self.perf.decode_s = time.perf_counter() - t0
             if stop or nxt is None:
+                # EOS mid-block: the block's unconsumed tail was appended to
+                # the cache — roll it back so multi-turn context stays clean
+                extra = pending_steps - consumed
+                if extra:
+                    cache = kvcache.rollback(cache, extra)
                 break
             pending, pending_steps = nxt, nxt_steps
         self.cache = cache

@@ -143,7 +143,9 @@ class Omni(Llm):
                 top_k=rt.top_k, top_p=rt.top_p, min_p=rt.min_p,
                 penalty=rt.penalty)
             stop = False
+            consumed = 0
             for t in np.asarray(toks[0]).tolist():
+                consumed += 1
                 self.perf.gen_len += 1
                 produced += 1
                 yield t
@@ -151,6 +153,10 @@ class Omni(Llm):
                     stop = True
                     break
             if stop:
+                # roll back the block's unconsumed tail (multi-turn hygiene)
+                from mnn_tpu.runtime import kvcache
+                if consumed < steps:
+                    cache = kvcache.rollback(cache, steps - consumed)
                 break
         self.perf.decode_s = time.perf_counter() - t0
         self.cache = cache

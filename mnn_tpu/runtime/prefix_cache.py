@@ -43,7 +43,10 @@ def save_prefix(path: str, cache: KVCache, token_ids: List[int],
     if cache.quantized:
         data["k_scale"] = np.asarray(cache.k_scale[:, slot, :, :n])
         data["v_scale"] = np.asarray(cache.v_scale[:, slot, :, :n])
-    np.savez(path, **data)
+    # file handle: np.savez(str) appends ".npz" to extensionless paths,
+    # which would break load_prefix(same_path)
+    with open(path, "wb") as fh:
+        np.savez(fh, **data)
     return n
 
 

@@ -135,6 +135,13 @@ def lookahead_generate(
         extra = len(step_tokens) - (n_accept + 1)
         if extra > 0:
             cache = kvcache.rollback(cache, extra)
+        # the verify bonus token can overshoot the budget by one: trim the
+        # emission and its cache entry so exactly max_new_tokens come out
+        budget_now = max_new_tokens - len(produced)
+        if len(emitted) > budget_now:
+            trim = len(emitted) - budget_now
+            emitted = emitted[:budget_now]
+            cache = kvcache.rollback(cache, trim)
         produced.extend(emitted)
         draft_tab.extend(emitted)
         last = emitted[-1]
