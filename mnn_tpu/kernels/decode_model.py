@@ -50,8 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mnn_tpu.kernels.common import largest_divisor_leq, round_up
-
-NEG_INF = -1e30
+from mnn_tpu.kernels.decode_step import NEG_INF, _rms, _rope_full
 
 
 def supports(config, params, cache, batch: int) -> bool:
@@ -129,23 +128,14 @@ def _qmatmul(x_f32, w_ref, s_ref, b_ref, *, bits, bs, k, sb_off=0):
             q = _dequant_block(w_ref[0, kb * bs:(kb + 1) * bs, :], bits)
         xb = x[:, kb * bs:(kb + 1) * bs]
         part = jnp.dot(xb, q, preferred_element_type=jnp.float32)
-        rsb = jnp.sum(x_f32[:, kb * bs:(kb + 1) * bs], axis=1, keepdims=True)
+        # rowsum over the SAME bf16-rounded x the MXU dot consumes — the
+        # dequant identity x@w = (x@q)*s + rowsum(x)*b needs one x, and
+        # dequant_matmul sums its bf16 copy (numeric parity across paths)
+        rsb = jnp.sum(xb.astype(jnp.float32), axis=1, keepdims=True)
         sb = sb_off + kb
         term = part * s_ref[0, sb:sb + 1] + rsb * b_ref[0, sb:sb + 1]
         acc = term if acc is None else acc + term
     return acc
-
-
-def _rms(x, w, eps):
-    var = jnp.mean(x * x, axis=-1, keepdims=True)
-    return x * jax.lax.rsqrt(var + eps) * w
-
-
-def _rope_full(x, cos, sin):
-    """Neox rotation with FULL-width (tiled-twice) cos/sin rows [1, D]."""
-    d2 = x.shape[-1] // 2
-    rot = jnp.concatenate([-x[:, d2:], x[:, :d2]], axis=-1)
-    return x * cos + rot * sin
 
 
 def _kernel(
@@ -426,7 +416,9 @@ def fused_decode_model(
         raise ValueError("megakernel requires uniform hidden-dim block size")
     sm_scale = 1.0 / (d ** 0.5)
 
-    bkv = min(block_kv, s)
+    # largest tile <= block_kv that divides the capacity (supports() gates
+    # s % 512 == 0, but e.g. s=1536 needs bkv=512, not min(1024, 1536))
+    bkv = largest_divisor_leq(s, min(block_kv, s), min(512, s))
     if s % bkv:
         raise ValueError(f"cache capacity {s} % block_kv {bkv} != 0")
     nkv = s // bkv
@@ -703,11 +695,19 @@ def scatter_rows(cache, k_rows, v_rows, k_sc, v_sc, lengths):
                 cache.v_scale, v_sc, (zero, zero, zero, p0))
             return dataclasses.replace(cache, k=k, v=v, k_scale=ks, v_scale=vs)
         return dataclasses.replace(cache, k=k, v=v)
-    b_idx = jnp.arange(b)
-    k = cache.k.at[:, b_idx, :, pos].set(k_rows[:, :, :, 0].astype(cache.k.dtype))
-    v = cache.v.at[:, b_idx, :, pos].set(v_rows[:, :, :, 0].astype(cache.v.dtype))
+    # non-adjacent advanced indices would move the broadcast batch dim to
+    # the FRONT of the indexed shape ((B, L, Hkv, D) vs value (L, B, Hkv, D))
+    # — scatter per batch row with scalar indices instead
+    k, v = cache.k, cache.v
+    ks, vs = cache.k_scale, cache.v_scale
+    for bi in range(b):
+        k = k.at[:, bi, :, pos[bi]].set(
+            k_rows[:, bi, :, 0].astype(cache.k.dtype))
+        v = v.at[:, bi, :, pos[bi]].set(
+            v_rows[:, bi, :, 0].astype(cache.v.dtype))
+        if cache.quantized:
+            ks = ks.at[:, bi, :, pos[bi]].set(k_sc[:, bi, :, 0])
+            vs = vs.at[:, bi, :, pos[bi]].set(v_sc[:, bi, :, 0])
     if cache.quantized:
-        ks = cache.k_scale.at[:, b_idx, :, pos].set(k_sc[:, :, :, 0])
-        vs = cache.v_scale.at[:, b_idx, :, pos].set(v_sc[:, :, :, 0])
         return dataclasses.replace(cache, k=k, v=v, k_scale=ks, v_scale=vs)
     return dataclasses.replace(cache, k=k, v=v)

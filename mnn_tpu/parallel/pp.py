@@ -51,7 +51,7 @@ def cache_specs_pp(quantized: bool, bits: int = 8) -> KVCache:
 
 
 def make_pp_forward(config: ModelConfig, mesh: Mesh, quantized_kv: bool,
-                    params: Params):
+                    params: Params, kv_bits: int = 8):
     """(params, tokens, cache) -> (logits, cache), layers pp-sharded."""
     from jax import shard_map
 
@@ -62,7 +62,7 @@ def make_pp_forward(config: ModelConfig, mesh: Mesh, quantized_kv: bool,
         config, num_layers=config.num_layers // stages
     )
     pspecs = _stage_specs(params)
-    cspecs = cache_specs_pp(quantized_kv)
+    cspecs = cache_specs_pp(quantized_kv, kv_bits if quantized_kv else 16)
 
     def local_fwd(p, tokens, cache):
         s = jax.lax.axis_index("pp")

@@ -74,13 +74,16 @@ def make_ring_attention(
         l = jnp.zeros_like(q[..., 0], dtype=jnp.float32)
         q_pos = my * tq + jnp.arange(tq)
 
-        def step(i, carry):
-            acc, m, l, k_cur, v_cur = carry
+        def attend(i, acc, m, l, k_cur, v_cur):
             src = (my - i) % size  # which global chunk k_cur holds
             k_pos = src * k_cur.shape[2] + jnp.arange(k_cur.shape[2])
-            acc, m, l = _block_attend(
+            return _block_attend(
                 q, k_cur, v_cur, q_pos, k_pos, scale, causal, acc, m, l
             )
+
+        def step(i, carry):
+            acc, m, l, k_cur, v_cur = carry
+            acc, m, l = attend(i, acc, m, l, k_cur, v_cur)
             # rotate KV to the next device (direction: chunk j visits
             # device j, j+1, ... so device r sees chunk (r - i) at step i)
             perm = [(j, (j + 1) % size) for j in range(size)]
@@ -88,7 +91,11 @@ def make_ring_attention(
             v_nxt = jax.lax.ppermute(v_cur, axis, perm)
             return acc, m, l, k_nxt, v_nxt
 
-        acc, m, l, _, _ = jax.lax.fori_loop(0, size, step, (acc, m, l, k, v))
+        # only size-1 rotations are needed: the last chunk is attended
+        # outside the loop so its (discarded) ppermute is never issued
+        acc, m, l, k_last, v_last = jax.lax.fori_loop(
+            0, size - 1, step, (acc, m, l, k, v))
+        acc, m, l = attend(size - 1, acc, m, l, k_last, v_last)
         l = jnp.where(l == 0.0, 1.0, l)
         return (acc / l[..., None]).astype(q.dtype)
 

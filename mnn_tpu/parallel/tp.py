@@ -166,7 +166,8 @@ def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
 
 
 def make_sharded_forward(
-    config: ModelConfig, mesh: Mesh, quantized_kv: bool, params: Params
+    config: ModelConfig, mesh: Mesh, quantized_kv: bool, params: Params,
+    kv_bits: int = 8,
 ):
     """Build a pjit-able TP+DP forward: (params, tokens, cache) -> (logits, cache)."""
     from jax import shard_map
@@ -174,7 +175,7 @@ def make_sharded_forward(
     tp = mesh.shape["tp"]
     lc = local_config(config, tp)
     pspecs = param_specs(config, params)
-    cspecs = cache_specs(quantized_kv)
+    cspecs = cache_specs(quantized_kv, kv_bits if quantized_kv else 16)
 
     def local_fwd(params, tokens, cache):
         return forward(params, lc, tokens, cache, tp_axis="tp")

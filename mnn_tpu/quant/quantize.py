@@ -72,8 +72,12 @@ def choose_block_size(k: int, requested: int, shards: int = 1) -> int:
         raise ValueError(f"shards {shards} must divide K={k}")
     local = k // shards
     bs = min(requested, local)
-    while local % bs or bs % 2:
+    while bs > 1 and (local % bs or bs % 2):
         bs -= 1
+    if bs <= 1:
+        raise ValueError(
+            f"no even block size divides K={k} over {shards} shards "
+            f"(local K = {local}); quantized K dims must be even")
     return bs
 
 
