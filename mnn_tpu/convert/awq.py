@@ -71,14 +71,18 @@ def dequantize_awq_layer(q: np.ndarray, scale: np.ndarray, zero: np.ndarray,
     return w.reshape(k, n)
 
 
-def load_awq_weight(tensors: dict, prefix: str) -> Tuple[np.ndarray, int]:
+def load_awq_weight(tensors: dict, prefix: str,
+                    gptq_v2: bool = False) -> Tuple[np.ndarray, int]:
     """Read {prefix}.qweight/qzeros/scales from a tensor dict.
 
     Returns (float weights [K, N] on the original quant grid, group size).
     Auto-detects AWQ (qweight [K, N/8]) vs GPTQ (qweight [K/8, N]) packing
-    from shapes. The float form feeds the standard quantize() with
-    block_size=group, which reproduces the grid to within half an original
-    quantization step (exact when a group spans its full int4 range).
+    from shapes. GPTQ v1 checkpoints (AutoGPTQ's default `checkpoint_format
+    "gptq"`) store zero-1 in qzeros; the true zero is restored here unless
+    gptq_v2=True (the rarer v2 format stores zeros directly). The float
+    form feeds the standard quantize() with block_size=group, which
+    reproduces the grid to within half an original quantization step
+    (exact when a group spans its full int4 range).
     """
     qw = np.asarray(tensors[prefix + ".qweight"])
     qz = np.asarray(tensors[prefix + ".qzeros"])
@@ -88,6 +92,8 @@ def load_awq_weight(tensors: dict, prefix: str) -> Tuple[np.ndarray, int]:
         q, s, z = unpack_awq(qw, qz, sc)
     elif qw.shape[1] == n:             # GPTQ: packed along K
         q, s, z = unpack_gptq(qw, qz, sc)
+        if not gptq_v2:
+            z = (z.astype(np.int32) + 1).astype(np.uint8)
     else:
         raise ValueError(f"unrecognized quant packing for {prefix}")
     group = q.shape[0] // groups

@@ -62,12 +62,13 @@ def _conv(layer, blobs, x, transposed=False):
     d = (int(dil[0]), int(dil[-1]))
     w = jnp.asarray(blobs[0])  # [out, in/group, kh, kw]
     if transposed:
-        # caffe Deconvolution weights are [in, out/group, kh, kw]
-        out = jax.lax.conv_transpose(
-            x, jnp.transpose(w, (2, 3, 0, 1)),
-            strides=(sh, sw), padding=((ph, ph), (pw, pw)),
-            dimension_numbers=("NCHW", "HWIO", "NCHW"),
-            transpose_kernel=True)
+        # caffe Deconvolution weights are [in, out/group, kh, kw]; exact
+        # gradient-of-conv semantics via the shared dilated-forward form
+        from mnn_tpu.convert.onnx_frontend import conv_transpose2d_nchw
+
+        out = conv_transpose2d_nchw(
+            x, w, strides=(sh, sw), pads=(ph, pw, ph, pw),
+            groups=int(p.group), dilation=d)
     else:
         out = jax.lax.conv_general_dilated(
             x, w, window_strides=(sh, sw), padding=((ph, ph), (pw, pw)),

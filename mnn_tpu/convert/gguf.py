@@ -288,11 +288,29 @@ def gguf_to_hf(path: str) -> Tuple[dict, Dict[str, np.ndarray]]:
 
     n_heads = int(mkey("attention.head_count"))
     n_kv = int(mkey("attention.head_count_kv", n_heads))
+    arch_map = {"llama": "LlamaForCausalLM",
+                "qwen2": "Qwen2ForCausalLM",
+                "qwen3": "Qwen3ForCausalLM",
+                "mistral": "MistralForCausalLM"}
+    if arch not in arch_map:
+        raise NotImplementedError(
+            f"gguf architecture {arch!r} not supported (have "
+            f"{sorted(arch_map)}); converting from the HF checkpoint "
+            "instead preserves exact semantics")
+    scaling = mkey("rope.scaling.type")
+    if scaling not in (None, "none"):
+        raise NotImplementedError(
+            f"gguf rope scaling type {scaling!r} unsupported; convert "
+            "from the HF checkpoint")
+    if "rope_freqs.weight" in tensors:
+        # llama.cpp bakes Llama-3.x rope rescaling into a rope_freqs
+        # tensor; silently dropping it would alias long positions
+        raise NotImplementedError(
+            "this GGUF carries a rope_freqs tensor (Llama-3.x rope "
+            "scaling baked by llama.cpp); convert from the HF checkpoint "
+            "so rope_scaling is applied exactly")
     hf_cfg = {
-        "architectures": [{"llama": "LlamaForCausalLM",
-                           "qwen2": "Qwen2ForCausalLM",
-                           "mistral": "MistralForCausalLM"}.get(
-                               arch, "LlamaForCausalLM")],
+        "architectures": [arch_map[arch]],
         "vocab_size": int(meta.get("tokenizer.ggml.tokens") and
                           len(meta["tokenizer.ggml.tokens"]) or
                           mkey("vocab_size", 32000)),

@@ -282,22 +282,46 @@ def _node1d_to_2d(node):
     return n
 
 
+def conv_transpose2d_nchw(x, w, *, strides=(1, 1), pads=(0, 0, 0, 0),
+                          output_padding=(0, 0), groups=1, dilation=(1, 1)):
+    """Exact ConvTranspose (torch/onnx/caffe semantics) as an input-dilated
+    forward conv with a spatially flipped kernel.
+
+    x [N, Cin, H, W]; w [Cin, Cout/groups, kH, kW] (the onnx/torch/caffe
+    transposed-conv layout). out = (in-1)*s - p0 - p1 + d*(k-1) + 1 + opad.
+    """
+    cin = w.shape[0]
+    co_g = w.shape[1]
+    kh, kw = w.shape[2], w.shape[3]
+    # [Cin, Co/g, kh, kw] -> forward-conv HWIO [kh, kw, Cin/g, Co] (output
+    # channels blocked per group), spatially flipped
+    wg = w.reshape(groups, cin // groups, co_g, kh, kw)
+    wf = jnp.flip(wg.transpose(3, 4, 1, 0, 2), (0, 1)).reshape(
+        kh, kw, cin // groups, groups * co_g)
+    ph0, pw0, ph1, pw1 = (list(pads) + [0] * 4)[:4]
+    eh = dilation[0] * (kh - 1)
+    ew = dilation[1] * (kw - 1)
+    pad = ((eh - ph0, eh - ph1 + output_padding[0]),
+           (ew - pw0, ew - pw1 + output_padding[1]))
+    return jax.lax.conv_general_dilated(
+        x, wf, window_strides=(1, 1), padding=pad,
+        lhs_dilation=tuple(strides), rhs_dilation=tuple(dilation),
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32).astype(x.dtype)
+
+
 @op("ConvTranspose")
 def _conv_transpose(ctx, node, x, w, b=None):
     at = _attrs(node)
-    strides = tuple(at.get("strides", [1, 1]))
-    pads = at.get("pads", [0, 0, 0, 0])
-    if at.get("group", 1) != 1:
-        raise NotImplementedError("grouped ConvTranspose")
-    # onnx W: [in, out, kH, kW]
-    y = jax.lax.conv_transpose(
-        x, jnp.transpose(w, (2, 3, 1, 0)), strides, padding="VALID",
-        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+    y = conv_transpose2d_nchw(
+        x, w,
+        strides=tuple(at.get("strides", [1, 1])),
+        pads=tuple(at.get("pads", [0, 0, 0, 0])),
+        output_padding=tuple(at.get("output_padding", [0, 0])),
+        groups=at.get("group", 1),
+        dilation=tuple(at.get("dilations", [1, 1])),
     )
-    ph0, pw0, ph1, pw1 = (list(pads) + [0] * 4)[:4]
-    out_pad = at.get("output_padding", [0, 0])
-    h, wd = y.shape[2], y.shape[3]
-    y = y[:, :, ph0 : h - ph1 + out_pad[0], pw0 : wd - pw1 + out_pad[1]]
     if b is not None:
         y = y + b[None, :, None, None]
     return y

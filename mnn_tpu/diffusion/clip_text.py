@@ -65,7 +65,7 @@ def clip_text_forward(params: Dict[str, jax.Array], cfg: ClipTextConfig,
                    params[p + "self_attn.k_proj.bias"])
         v = linear(h, params[p + "self_attn.v_proj.weight"],
                    params[p + "self_attn.v_proj.bias"])
-        o = _masked_attention(q, k, v, cfg.num_heads, causal)
+        o = attention(q, k, v, cfg.num_heads, mask=causal)
         x = x + linear(o, params[p + "self_attn.out_proj.weight"],
                        params[p + "self_attn.out_proj.bias"])
         h = layer_norm(x, params[p + "layer_norm2.weight"],
@@ -87,22 +87,6 @@ def clip_text_forward(params: Dict[str, jax.Array], cfg: ClipTextConfig,
                              axis=1)
     pooled = x[jnp.arange(b), eos_pos]
     return x, pooled
-
-
-def _masked_attention(q, k, v, num_heads, mask):
-    import math
-    b, t, d = q.shape
-    dh = d // num_heads
-    qh = q.reshape(b, t, num_heads, dh).transpose(0, 2, 1, 3)
-    kh = k.reshape(b, t, num_heads, dh).transpose(0, 2, 1, 3)
-    vh = v.reshape(b, t, num_heads, dh).transpose(0, 2, 1, 3)
-    s = jnp.einsum("bhtd,bhsd->bhts", qh, kh,
-                   preferred_element_type=jnp.float32) / math.sqrt(dh)
-    s = jnp.where(mask[None, None], s, -jnp.inf)
-    a = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(vh.dtype)
-    o = jnp.einsum("bhts,bhsd->bhtd", a, vh,
-                   preferred_element_type=jnp.float32).astype(vh.dtype)
-    return o.transpose(0, 2, 1, 3).reshape(b, t, d)
 
 
 def from_hf_clip_text(state_dict) -> Dict[str, jax.Array]:

@@ -89,11 +89,13 @@ def timestep_embedding(t, dim, *, flip_sin_to_cos=True, freq_shift=0.0,
     return emb
 
 
-def attention(q, k, v, num_heads):
+def attention(q, k, v, num_heads, mask=None):
     """Multi-head attention over token dims.
 
     q [B,Tq,D], k/v [B,Tk,D] (already projected) -> [B,Tq,D].
-    fp32 softmax; MXU matmuls.
+    Optional boolean mask [Tq,Tk] (True = attend). fp32 softmax; MXU
+    matmuls. Shared by the diffusion transformers, the CLIP text encoder,
+    and the Whisper audio tower.
     """
     b, tq, d = q.shape
     tk = k.shape[1]
@@ -103,6 +105,8 @@ def attention(q, k, v, num_heads):
     v = v.reshape(b, tk, num_heads, dh).transpose(0, 2, 1, 3)
     s = jnp.einsum("bhtd,bhsd->bhts", q, k,
                    preferred_element_type=jnp.float32) / math.sqrt(dh)
+    if mask is not None:
+        s = jnp.where(mask[None, None], s, -jnp.inf)
     a = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(v.dtype)
     o = jnp.einsum("bhts,bhsd->bhtd", a, v,
                    preferred_element_type=jnp.float32).astype(v.dtype)

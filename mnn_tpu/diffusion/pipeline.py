@@ -58,6 +58,11 @@ class DiffusionPipeline:
         key = jax.random.PRNGKey(seed)
         key, sub = jax.random.split(key)
         latent = jax.random.normal(sub, (1, *self.latent_shape), jnp.float32)
+        if hasattr(sch, "sigma"):
+            # Euler-discrete: init noise lives at sigma_max scale (the
+            # denoiser input is re-normalized by scale_model_input)
+            latent = latent * jnp.sqrt(
+                sch.sigma(sch.num_train_timesteps - 1) ** 2 + 1)
 
         for i, t in enumerate(timesteps):
             t_prev = timesteps[i + 1] if i + 1 < len(timesteps) else -1

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mnn_tpu.diffusion.nn import layer_norm, linear, t_lin, t_vec
+from mnn_tpu.diffusion.nn import attention, layer_norm, linear, t_lin, t_vec
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,7 +67,7 @@ def audio_encoder_forward(p: Dict[str, jax.Array], cfg: AudioEncoderConfig,
         k = linear(h, p[pre + "self_attn.k_proj.weight"])  # whisper: no k bias
         v = linear(h, p[pre + "self_attn.v_proj.weight"],
                    p[pre + "self_attn.v_proj.bias"])
-        o = _attention(q, k, v, cfg.num_heads)
+        o = attention(q, k, v, cfg.num_heads)
         x = x + linear(o, p[pre + "self_attn.out_proj.weight"],
                        p[pre + "self_attn.out_proj.bias"])
         h = layer_norm(x, p[pre + "final_layer_norm.weight"],
@@ -77,21 +77,6 @@ def audio_encoder_forward(p: Dict[str, jax.Array], cfg: AudioEncoderConfig,
         x = x + linear(h, p[pre + "fc2.weight"], p[pre + "fc2.bias"])
 
     return layer_norm(x, p["layer_norm.weight"], p["layer_norm.bias"])
-
-
-def _attention(q, k, v, num_heads):
-    import math
-    b, t, d = q.shape
-    dh = d // num_heads
-    qh = q.reshape(b, t, num_heads, dh).transpose(0, 2, 1, 3)
-    kh = k.reshape(b, t, num_heads, dh).transpose(0, 2, 1, 3)
-    vh = v.reshape(b, t, num_heads, dh).transpose(0, 2, 1, 3)
-    s = jnp.einsum("bhtd,bhsd->bhts", qh, kh,
-                   preferred_element_type=jnp.float32) / math.sqrt(dh)
-    a = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(vh.dtype)
-    o = jnp.einsum("bhts,bhsd->bhtd", a, vh,
-                   preferred_element_type=jnp.float32).astype(vh.dtype)
-    return o.transpose(0, 2, 1, 3).reshape(b, t, d)
 
 
 def from_hf_whisper_encoder(state_dict) -> Dict[str, jax.Array]:

@@ -186,11 +186,12 @@ def _gated_act(c: ModelConfig, gu: jax.Array) -> jax.Array:
 
 
 def _attention_xla(c: ModelConfig, q, k_cache, v_cache, k_scale, v_scale,
-                   kv_len, start, window, bits):
+                   kv_len, lengths, window, bits):
     """Dense masked attention in plain XLA — the path for configs the
     Pallas kernels don't cover (gemma2 score softcapping, per-layer
     alternating windows). `window` may be traced (scan-carried layer
-    index selects it)."""
+    index selects it). Per-row lengths: each batch row masks by its own
+    pre-append length (continuous batching has ragged slots)."""
     b, h, t, d = q.shape
     if k_cache.dtype == jnp.int8:
         kf = kvcache.dequant_kv(k_cache, k_scale, bits)
@@ -206,14 +207,18 @@ def _attention_xla(c: ModelConfig, q, k_cache, v_cache, k_scale, v_scale,
                    kf.astype(jnp.float32)) * scale
     if c.attn_softcap:
         s = jnp.tanh(s / c.attn_softcap) * c.attn_softcap
-    pos_q = start + jnp.arange(t)                       # [t]
+    pos_q = lengths[:, None] + jnp.arange(t)[None]      # [b, t]
     pos_k = jnp.arange(cap)                             # [cap]
-    ok = (pos_k[None] <= pos_q[:, None]) & (pos_k[None] < kv_len[0])
-    win_lo = pos_q[:, None] - window                    # traced ok
-    ok &= (window <= 0) | (pos_k[None] > win_lo)
+    causal = (pos_k[None, None] <= pos_q[..., None]) \
+        & (pos_k[None, None] < kv_len[:, None, None])   # [b, t, cap]
+    win_lo = pos_q[..., None] - window                  # traced ok
+    win_ok = (window <= 0) | (pos_k[None, None] > win_lo)
     if c.attention_sink:
-        ok |= pos_k[None] < c.attention_sink
-    s = jnp.where(ok[None, None, None], s, -jnp.inf)
+        # sink widens the WINDOW only — it must never unmask future or
+        # unwritten positions (matches the Pallas kernels' composition)
+        win_ok |= pos_k[None, None] < c.attention_sink
+    ok = causal & win_ok
+    s = jnp.where(ok[:, None, None], s, -jnp.inf)
     a = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bkgts,bksd->bkgtd", a, vf.astype(jnp.float32))
     return o.reshape(b, h, t, d).astype(q.dtype)
@@ -657,8 +662,8 @@ def forward(
             window = c.sliding_window
             if c.swa_every_other:
                 window = jnp.where(li % 2 == 0, c.sliding_window, 0)
-            att = _attention_xla(c, q, k_c, v_c, ks_c, vs_c, kv_len, start,
-                                 window, cache.bits)
+            att = _attention_xla(c, q, k_c, v_c, ks_c, vs_c, kv_len,
+                                 cache.length, window, cache.bits)
         else:
             att = _attention(c, q, k_c, v_c, ks_c, vs_c, kv_len, start,
                              interpret, bits=cache.bits)

@@ -12,6 +12,12 @@ pieces into the same user-facing surface:
 * splice: placeholder tokens in the prompt are replaced by projected
   modality embeddings; prefill runs over `inputs_embeds`
   (generate.run_prefill_embeds); decode is the standard engine;
+* positions: this runtime uses sequential (LLaVA-style) rope positions
+  for both prefill and decode. For qwen2-vl-exact mrope positions, drive
+  `models.decoder.forward` directly with `position_ids=[B,T,3]` built by
+  `vision_encoder.build_mrope_positions` (prefill) and continue decode at
+  max(position)+1 per the HF convention — the decoder supports it; this
+  convenience loop does not (yet) thread per-step offsets;
 * speech out: `models.talker.Talker` renders the reply when attached.
 """
 

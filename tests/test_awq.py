@@ -63,6 +63,28 @@ class TestAwqUnpack:
         np.testing.assert_array_equal(q2, q)
         np.testing.assert_array_equal(z2, z)
 
+    def test_gptq_v1_zero_offset(self):
+        """AutoGPTQ v1 checkpoints store zero-1 in qzeros: the loader must
+        add the +1 back (gptq_v2=True skips it)."""
+        rng = np.random.default_rng(3)
+        K, N, G = 32, 32, 16
+        q = rng.integers(0, 16, (K, N)).astype(np.uint8)
+        true_z = rng.integers(1, 15, (K // G, N)).astype(np.uint8)
+        s = rng.uniform(0.01, 0.1, (K // G, N)).astype(np.float32)
+        tensors = {
+            "layer.qweight": _pack_seq_axis0(q),
+            "layer.qzeros": _pack_seq_axis1((true_z - 1).astype(np.uint8)),
+            "layer.scales": s,
+        }
+        w, group = load_awq_weight(tensors, "layer")
+        want = (q.reshape(K // G, G, N).astype(np.float32)
+                - true_z[:, None].astype(np.float32)) * s[:, None]
+        np.testing.assert_allclose(w, want.reshape(K, N), rtol=1e-6)
+        # v2 stores true zeros directly
+        tensors["layer.qzeros"] = _pack_seq_axis1(true_z)
+        w2, _ = load_awq_weight(tensors, "layer", gptq_v2=True)
+        np.testing.assert_allclose(w2, want.reshape(K, N), rtol=1e-6)
+
     def test_load_autodetect(self):
         rng = np.random.default_rng(2)
         K, N, G = 32, 64, 16

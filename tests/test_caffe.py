@@ -278,3 +278,28 @@ layer { name: "r" type: "ReLU" bottom: "c" top: "c" }
         got = np.asarray(fn(params, jnp.asarray(x)))
         ref = np.concatenate([x[:, 2:], x[:, :2]], 1).reshape(1, -1)
         np.testing.assert_allclose(got, ref)
+
+
+class TestDeconvolution:
+    def test_matches_torch(self):
+        rng = np.random.default_rng(11)
+        net = _net((1, 3, 5, 5))
+        dc = net.layer.add()
+        dc.name, dc.type = "d", "Deconvolution"
+        dc.bottom.append("data"); dc.top.append("d")
+        dc.convolution_param.num_output = 4
+        dc.convolution_param.kernel_size.append(4)
+        dc.convolution_param.stride.append(2)
+        dc.convolution_param.pad.append(1)
+        # caffe deconv weights: [C_in, C_out/g, kh, kw]
+        w = rng.standard_normal((3, 4, 4, 4), np.float32) * 0.2
+        b = rng.standard_normal(4, np.float32) * 0.1
+        _blob(dc, w); _blob(dc, b)
+        fn, params = convert_caffe(net)
+        x = rng.standard_normal((1, 3, 5, 5), np.float32)
+        got = np.asarray(fn(params, jnp.asarray(x)))
+        ref = torch.nn.functional.conv_transpose2d(
+            torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+            stride=2, padding=1).numpy()
+        assert got.shape == ref.shape == (1, 4, 10, 10)
+        np.testing.assert_allclose(got, ref, atol=1e-5)

@@ -127,6 +127,58 @@ class TestGemma2Decode:
                                    atol=2e-2, rtol=2e-2)
 
 
+class TestGemmaRaggedBatch:
+    def test_per_slot_lengths_in_xla_attention(self):
+        """Continuous batching: two gemma-path slots at DIFFERENT lengths
+        must each decode as if alone (regression: the XLA attention used
+        slot 0's length for every row)."""
+        import dataclasses
+        import jax
+        from mnn_tpu.models.config import PRESETS
+        from mnn_tpu.models.decoder import forward, init_random_params
+        from mnn_tpu.runtime import kvcache
+
+        cfg = dataclasses.replace(PRESETS["tiny"], attn_softcap=30.0)
+        params = init_random_params(cfg, jax.random.PRNGKey(0), quant_bits=8,
+                                    scale=0.05)
+
+        def solo(prompt):
+            cache = kvcache.create(cfg.num_layers, 1, cfg.num_kv_heads, 16,
+                                   cfg.head_dim, quantized=False)
+            lg, cache = forward(params, cfg,
+                                jnp.asarray([prompt], jnp.int32), cache)
+            lg, _ = forward(params, cfg, jnp.asarray(
+                [[int(np.argmax(np.asarray(lg[0])))]], jnp.int32), cache)
+            return np.asarray(lg[0], np.float32)
+
+        a_prompt, b_prompt = [3, 1, 4, 1, 5, 9], [7, 7]
+        want_a, want_b = solo(a_prompt), solo(b_prompt)
+
+        # batched cache with ragged lengths: prefill each row separately
+        cache = kvcache.create(cfg.num_layers, 2, cfg.num_kv_heads, 16,
+                               cfg.head_dim, quantized=False)
+        import mnn_tpu.runtime.kvcache as kvc
+        c_a = kvcache.create(cfg.num_layers, 1, cfg.num_kv_heads, 16,
+                             cfg.head_dim, quantized=False)
+        la, c_a = forward(params, cfg, jnp.asarray([a_prompt], jnp.int32),
+                          c_a)
+        c_b = kvcache.create(cfg.num_layers, 1, cfg.num_kv_heads, 16,
+                             cfg.head_dim, quantized=False)
+        lb, c_b = forward(params, cfg, jnp.asarray([b_prompt], jnp.int32),
+                          c_b)
+        cache = dataclasses.replace(
+            cache,
+            k=cache.k.at[:, 0].set(c_a.k[:, 0]).at[:, 1].set(c_b.k[:, 0]),
+            v=cache.v.at[:, 0].set(c_a.v[:, 0]).at[:, 1].set(c_b.v[:, 0]),
+            length=jnp.asarray([len(a_prompt), len(b_prompt)], jnp.int32))
+        toks = jnp.asarray([[int(np.argmax(np.asarray(la[0])))],
+                            [int(np.argmax(np.asarray(lb[0])))]], jnp.int32)
+        lg, _ = forward(params, cfg, toks, cache)
+        got = np.asarray(lg, np.float32)
+        np.testing.assert_allclose(got[0], want_a, atol=2e-2, rtol=2e-2)
+        np.testing.assert_allclose(got[1], want_b, atol=2e-2, rtol=2e-2)
+
+
 class TestQwen3Moe:
     def test_logits_match(self, tmp_path):
         """Qwen3-MoE (BASELINE config 5): routed experts without a shared

@@ -281,3 +281,29 @@ class TestErrors:
         fn, params = convert_onnx(m)
         got = np.asarray(jax.jit(fn)(params, jnp.asarray(x)))
         assert got.shape == (2, 8) and np.isfinite(got).all()
+
+
+class TestConvTranspose:
+    def test_matches_torch_basic_and_grouped(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(0)
+        for cin, cout, groups, stride, pad, opad in [
+            (3, 5, 1, 2, 1, 0),      # cin != cout (channel-axis regression)
+            (4, 6, 2, 2, 1, 1),      # grouped + output_padding
+            (2, 2, 1, 3, 0, 0),
+        ]:
+            x = rng.standard_normal((1, cin, 7, 6), np.float32)
+            w = rng.standard_normal((cin, cout // groups, 3, 3),
+                                    np.float32) * 0.3
+            node = _node("ConvTranspose", ["x", "w"], ["y"],
+                         strides=[stride, stride],
+                         pads=[pad, pad, pad, pad],
+                         output_padding=[opad, opad], group=groups)
+            m = _model([node], ["x"], ["y"], [_tensor("w", w)])
+            fn, params = convert_onnx(m)
+            got = np.asarray(fn(params, jnp.asarray(x)), np.float32)
+            ref = torch.nn.functional.conv_transpose2d(
+                torch.from_numpy(x), torch.from_numpy(w), stride=stride,
+                padding=pad, output_padding=opad, groups=groups).numpy()
+            np.testing.assert_allclose(got, ref, atol=2e-5,
+                                       err_msg=f"{(cin, cout, groups)}")
