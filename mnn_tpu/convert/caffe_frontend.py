@@ -218,8 +218,10 @@ def _flatten(layer, blobs, x):
 def _slice(layer, blobs, x):
     p = layer.slice_param
     pts = [int(v) for v in p.slice_point]
-    return tuple(jnp.split(x, pts, axis=p.axis)) if pts else \
-        tuple(jnp.split(x, 2, axis=p.axis))
+    if pts:
+        return tuple(jnp.split(x, pts, axis=p.axis))
+    # no slice_point: Caffe splits evenly across the layer's tops
+    return tuple(jnp.split(x, max(len(layer.top), 1), axis=p.axis))
 
 
 def _prelu(layer, blobs, x):

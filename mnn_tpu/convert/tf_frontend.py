@@ -101,9 +101,16 @@ for tf_name, fn in {
     "Select": jnp.where, "SelectV2": jnp.where,
     "Identity": lambda x: x, "StopGradient": lambda x: x,
     "ZerosLike": jnp.zeros_like, "OnesLike": jnp.ones_like,
-    "BiasAdd": jnp.add,
 }.items():
     _OPS[tf_name] = _elem(fn)
+
+
+@op("BiasAdd")
+def _bias_add(node, x, bias):
+    # bias broadcasts over the CHANNEL axis; NCHW would silently broadcast
+    # over W with a plain add, so reject it like the conv lowerings do
+    _nhwc(node)
+    return jnp.add(x, bias)
 
 
 @op("LeakyRelu")
@@ -381,8 +388,17 @@ def _argmin(node, x, axis):
     return jnp.argmin(x, axis=int(np.asarray(axis))).astype(jnp.int32)
 
 
+def _check_resize_attrs(node):
+    """jax.image.resize implements half_pixel_centers semantics; TF's
+    legacy align_corners grid differs at every interior pixel — refuse it
+    rather than silently resampling on the wrong grid."""
+    if _a(node, "align_corners", False):
+        raise NotImplementedError(f"{node.op}: align_corners=True")
+
+
 @op("ResizeBilinear")
 def _resize_bl(node, x, size):
+    _check_resize_attrs(node)
     h, w = (int(v) for v in np.asarray(size))
     return jax.image.resize(x, (x.shape[0], h, w, x.shape[3]),
                             method="bilinear")
@@ -390,6 +406,7 @@ def _resize_bl(node, x, size):
 
 @op("ResizeNearestNeighbor")
 def _resize_nn(node, x, size):
+    _check_resize_attrs(node)
     h, w = (int(v) for v in np.asarray(size))
     return jax.image.resize(x, (x.shape[0], h, w, x.shape[3]),
                             method="nearest")

@@ -86,7 +86,9 @@ def _basic_transformer_block(p: Dict, pre: str, x, ctx, num_heads):
     h = layer_norm(x, p[pre + "norm3.weight"], p[pre + "norm3.bias"])
     h = linear(h, p[pre + "ff.net.0.proj.weight"], p[pre + "ff.net.0.proj.bias"])
     h, gate = jnp.split(h, 2, axis=-1)
-    h = h * jax.nn.gelu(gate.astype(jnp.float32)).astype(h.dtype)
+    # exact erf GELU: diffusers' GEGLU uses nn.GELU() (not tanh approx)
+    h = h * jax.nn.gelu(gate.astype(jnp.float32),
+                        approximate=False).astype(h.dtype)
     return x + linear(h, p[pre + "ff.net.2.weight"], p[pre + "ff.net.2.bias"])
 
 

@@ -84,6 +84,13 @@ class ModelConfig:
         head_dim = d.get("head_dim") or d["hidden_size"] // d["num_attention_heads"]
         arch = (d.get("architectures") or [""])[0].lower()
         gemma = "gemma" in arch
+        if "gemma3" in arch and d.get("rope_local_base_freq"):
+            # gemma3 needs per-layer dual rope theta + the 5:1 sliding/full
+            # layer pattern + QK-norm; refusing beats silently-wrong numerics
+            # (cf. the GGUF importer's unsupported-rope-scaling errors)
+            raise NotImplementedError(
+                "gemma3 (dual rope theta / 5:1 sliding pattern) is not "
+                "implemented; gemma/gemma2 configs are supported")
         return cls(
             name=name,
             vocab_size=d["vocab_size"],

@@ -187,7 +187,9 @@ def qwen_vl_vision_forward(p: Dict[str, jax.Array], cfg: QwenVLVisionConfig,
     x = rms_norm(x, p["merger.ln_q.weight"], cfg.rms_eps)
     x = x.reshape(s // mm, mm * cfg.hidden_size)
     x = jnp.dot(x, p["merger.mlp.0.weight"]) + p["merger.mlp.0.bias"]
-    x = jax.nn.gelu(x.astype(jnp.float32)).astype(patches.dtype)
+    # HF merger uses nn.GELU() = exact erf, not the tanh approximation
+    x = jax.nn.gelu(x.astype(jnp.float32),
+                    approximate=False).astype(patches.dtype)
     x = jnp.dot(x, p["merger.mlp.2.weight"]) + p["merger.mlp.2.bias"]
     # undo the window permutation (at merge-unit granularity)
     return x[jnp.asarray(np.argsort(widx))]

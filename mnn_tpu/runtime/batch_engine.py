@@ -193,6 +193,7 @@ class BatchEngine:
         )
         self.state = sampler.make_state(b)
         self.mesh = mesh
+        self.dp_axis = dp_axis
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -200,22 +201,9 @@ class BatchEngine:
             if b % ndp:
                 raise ValueError(f"max_batch {b} not divisible by dp={ndp}")
 
-            def shard(x, batch_axis):
-                spec = [None] * x.ndim
-                spec[batch_axis] = dp_axis
-                return jax.device_put(x, NamedSharding(mesh, P(*spec)))
-
-            self.cache = dataclasses.replace(
-                self.cache,
-                k=shard(self.cache.k, 1), v=shard(self.cache.v, 1),
-                k_scale=(shard(self.cache.k_scale, 1)
-                         if self.cache.k_scale is not None else None),
-                v_scale=(shard(self.cache.v_scale, 1)
-                         if self.cache.v_scale is not None else None),
-                length=shard(self.cache.length, 0),
-            )
+            self.cache = self._shard_batch(self.cache)
             self.state = dataclasses.replace(
-                self.state, recent=shard(self.state.recent, 0))
+                self.state, recent=self._shard(self.state.recent, 0))
             # replicate weights across the dp axis explicitly
             rep = NamedSharding(mesh, P())
             self.params = jax.tree_util.tree_map(
@@ -230,6 +218,25 @@ class BatchEngine:
         self._lock = threading.Lock()
         self.prefill_priority = True
         self.steps_per_block = max(rt.decode_block, 1)
+
+    def _shard(self, x, batch_axis: int):
+        """Place `x` with its batch axis split over the dp mesh axis."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = [None] * x.ndim
+        spec[batch_axis] = self.dp_axis
+        return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
+
+    def _shard_batch(self, cache: KVCache) -> KVCache:
+        return dataclasses.replace(
+            cache,
+            k=self._shard(cache.k, 1), v=self._shard(cache.v, 1),
+            k_scale=(self._shard(cache.k_scale, 1)
+                     if cache.k_scale is not None else None),
+            v_scale=(self._shard(cache.v_scale, 1)
+                     if cache.v_scale is not None else None),
+            length=self._shard(cache.length, 0),
+        )
 
     # -- submission --------------------------------------------------------
 
@@ -470,14 +477,18 @@ class BatchEngine:
 
     @classmethod
     def resume(cls, path: str, config: ModelConfig, params: Params,
-               rt: RuntimeConfig, tokenizer=None, eos_ids=frozenset()
-               ) -> "BatchEngine":
+               rt: RuntimeConfig, tokenizer=None, eos_ids=frozenset(),
+               mesh=None, dp_axis: str = "dp") -> "BatchEngine":
         """Rebuild a snapshotted engine; in-flight requests continue
         decoding from their exact KV/sampler state (fresh output queues —
-        reconnecting clients re-subscribe via `requests[rid].out`)."""
+        reconnecting clients re-subscribe via `requests[rid].out`).
+        Pass the same mesh/dp_axis the snapshotted engine ran with to
+        restore the data-parallel KV placement (the snapshot itself is
+        host-gathered, so resuming on a different dp degree also works)."""
         import json as _json
 
-        eng = cls(config, params, rt, tokenizer=tokenizer, eos_ids=eos_ids)
+        eng = cls(config, params, rt, tokenizer=tokenizer, eos_ids=eos_ids,
+                  mesh=mesh, dp_axis=dp_axis)
         z = np.load(path, allow_pickle=False)
         if bool(z["quantized"]) != eng.cache.quantized or \
                 int(z["bits"]) != eng.cache.bits:
@@ -495,12 +506,17 @@ class BatchEngine:
             v_scale=jnp.asarray(z["v_scale"]) if eng.cache.quantized else None,
             length=jnp.asarray(z["length"]), bits=int(z["bits"]),
         )
+        if mesh is not None:
+            eng.cache = eng._shard_batch(eng.cache)
         eng.last_tokens = jnp.asarray(z["last_tokens"])
         typed = "rng_typed" in z.files and bool(z["rng_typed"])
         eng.key = (jax.random.wrap_key_data(jnp.asarray(z["rng"]))
                    if typed else jnp.asarray(z["rng"]))
         eng.state = SamplerState(recent=jnp.asarray(z["sampler_recent"]),
                                  pos=jnp.asarray(z["sampler_pos"]))
+        if mesh is not None:
+            eng.state = dataclasses.replace(
+                eng.state, recent=eng._shard(eng.state.recent, 0))
         meta = _json.loads(str(z["meta"]))
 
         def mk_req(m) -> Request:
