@@ -10,15 +10,25 @@ collapses the same structure into single Executions per op and a tight
 interpreter loop (/root/reference/source/core/Pipeline.cpp:1167-1211); the
 TPU-native end point of that idea is one kernel for the whole forward pass.
 
-Design:
-* grid = (num_layers, P) executed sequentially. P phases per layer:
-    p = 0                qkv projection (+ input RMSNorm + rope + KV quant
-                         + online-softmax seed with the new token)
-    p = 1 .. nkv         flash attention over the layer's KV cache tiles
-    p = 1 + nkv          output projection + residual add
-    p = 2 + nkv ..       gate/up projection chunks (+ SwiGLU into an
-                         activation scratch)
-    p = 2 + nkv + n_gu.. down projection chunks (+ residual add)
+Design (generalized chunking — v2):
+* grid = (num_layers, P) executed sequentially, P phases per layer:
+    p in [0, n_qkv)          qkv projection, one output-column chunk per
+                             phase into a VMEM scratch; the LAST chunk
+                             phase also does input-RMSNorm'd rope + KV
+                             quant + online-softmax seed with the new token
+    p in [A0, A0 + nkv)      flash attention over the layer's KV cache tiles
+    p in [W0, W0 + n_wo)     output projection, one K-chunk (rows of wo)
+                             per phase accumulating in VMEM; last chunk
+                             adds the residual + post-norm
+    p in [M0, M0 + n_mlp)    fused MLP chunk pairs: each phase computes one
+                             gate/up column chunk AND immediately consumes
+                             it through the matching down-proj row chunk —
+                             the SwiGLU activation never exists outside
+                             registers/VMEM of its own phase
+* EVERY weight operand is chunked so its double-buffered VMEM footprint is
+  bounded; `_plan` solves the chunk sizes against the ~16MB VMEM budget
+  jointly (the original design kept whole-layer qkv/wo buffers, which
+  VMEM-OOMs at 44MB for 7B-class dims — measured, see git history).
 * The residual stream x lives in a VMEM scratch for the entire kernel: zero
   HBM round-trips for activations, norms, or residuals.
 * Weights stream through Pallas's revolving buffers. Index maps are STAGED:
@@ -27,7 +37,8 @@ Design:
   the layer boundary.
 * Weights stay int4/int8-packed in HBM; dequantization uses the same
   per-block algebra as kernels/dequant_matmul.py (dot on the quantized
-  pattern, scale/bias applied to [M, bn] partial products).
+  pattern, scale/bias applied to [M, bn] partial products). Scale/bias
+  planes are bf16 in HBM (quant/quantize.py), upcast in VMEM.
 * Attention replicates kernels/decode_step.py: the new token's K/V is
   quantized in-kernel, seeds the softmax from VMEM (bit-matching a cache
   readback), and the quantized rows + scales are emitted as [L, ...]-stacked
@@ -41,6 +52,7 @@ by the Session interpreter (SURVEY.md §2.4, §3.3 hot loop).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -51,6 +63,154 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mnn_tpu.kernels.common import largest_divisor_leq, round_up
 from mnn_tpu.kernels.decode_step import NEG_INF, _rms, _rope_full
+
+# VMEM budget for the solver: ~16MB physical minus headroom for Mosaic
+# spills, semaphores and the odd compiler-introduced copy.
+VMEM_BUDGET = 14 << 20
+
+
+def _divisor_chunks(dim: int, align: int):
+    """Divisors of `dim` that are multiples of `align`, descending."""
+    out = []
+    d = align
+    while d <= dim:
+        if dim % d == 0:
+            out.append(d)
+        d += align
+    return sorted(out, reverse=True)
+
+
+@dataclasses.dataclass(frozen=True)
+class _Plan:
+    bnq: int      # qkv output-column chunk
+    n_qkv: int
+    bkwo: int     # wo input-row chunk
+    n_wo: int
+    ci: int       # MLP intermediate chunk (gate/up cols = 2*ci, down rows = ci)
+    n_mlp: int
+    bkv: int      # attention KV tile
+    nkv: int
+
+    @property
+    def phases(self) -> int:
+        return self.n_qkv + self.nkv + self.n_wo + self.n_mlp
+
+
+def _plan(c, layers, cache, batch: int) -> Optional[_Plan]:
+    """Solve chunk sizes under the VMEM budget; None if infeasible."""
+    lay = layers
+    h = c.hidden_size
+    d = c.head_dim
+    hkv = c.num_kv_heads
+    nq = (c.num_heads + 2 * hkv) * d
+    dq = c.q_dim
+    i_dim = c.intermediate_size
+    s = cache.capacity
+    bits = lay.wqkv.bits
+    pack = 2 if bits == 4 else 1
+    bs_h = lay.wqkv.block_size
+    bs_i = lay.wdown.block_size
+    b8 = 8
+    g = c.num_heads // hkv
+    gp = round_up(g, 8)
+    sb = 2  # scale/bias plane element bytes (bf16); f32 planes still work
+    if lay.wqkv.scale.dtype == jnp.float32:
+        sb = 4
+
+    # same KV tile size as kernels/decode_step.py: identical online-softmax
+    # tiling keeps the two paths' f32 summation orders aligned, so the
+    # megakernel bit-matches the per-layer path (asserted by the oracle
+    # tests; a larger tile perturbs results by ~1e-8 which can flip an int8
+    # KV round() tie)
+    bkv = largest_divisor_leq(s, min(512, s), min(512, s))
+    if s % bkv:
+        return None
+    nkv = s // bkv
+
+    qkv_opts = _divisor_chunks(nq, 128) if nq % 128 == 0 else [nq]
+    wo_opts = _divisor_chunks(dq, bs_h)
+    ci_align = max(bs_i, 64)
+    if (2 * ci_align) % 128:
+        ci_align = max(ci_align, 64)
+        while (2 * ci_align) % 128:
+            ci_align += bs_i
+    ci_opts = [x for x in _divisor_chunks(i_dim, ci_align)]
+    if not (qkv_opts and wo_opts and ci_opts):
+        return None
+
+    def wbytes(k_dim, n_dim):  # packed weight chunk bytes
+        return k_dim * n_dim // pack
+
+    def total(bnq, bkwo, ci):
+        # all double-buffered inputs + scratch (see fused_decode_model)
+        w = (
+            wbytes(h, bnq)                       # wqkv chunk
+            + (h // bs_h) * bnq * sb * 2         # sq/bq
+            + wbytes(bkwo, h)                    # wo chunk
+            + (bkwo // bs_h) * h * sb * 2
+            + wbytes(h, 2 * ci)                  # wgu chunk
+            + (h // bs_h) * 2 * ci * sb * 2
+            + wbytes(ci, h)                      # wdown chunk
+            + (ci // bs_i) * h * sb * 2
+            + 2 * batch * hkv * bkv * d * (1 if cache.bits == 8 else 2)  # k+v
+            + (2 * batch * hkv * bkv * 4 if cache.bits == 8 else 0)     # k/v sc
+            + nq * 4 + 2 * h * 4 + 2 * d * 4     # out-bias + norms + qk-norms
+            + b8 * h * 4 + b8 * 2 * d * 4        # x input + cos/sin
+        )
+        scratch = (
+            3 * b8 * h * 4          # x, rn, acc
+            + b8 * nq * 4           # qkv
+            + b8 * dq * 4           # att
+            + batch * hkv * gp * (2 * d + 2 * 128) * 4  # q, accA, m, l
+        )
+        outs = b8 * h * 4 + 2 * batch * hkv * 8 * d * 4 + batch * hkv * 8 * 128 * 4
+        return 2 * w + scratch + 2 * outs
+
+    # greedy: start from ~2.5MB-targeted chunks, shrink the largest
+    # contributor until the budget holds
+    def first_leq(opts, cap_bytes, per_unit):
+        for o in opts:
+            if o * per_unit <= cap_bytes:
+                return o
+        return opts[-1]
+
+    target = 2_500_000
+    bnq = first_leq(qkv_opts, target, wbytes(h, 1))
+    bkwo = first_leq(wo_opts, target, wbytes(1, h))
+    ci = first_leq(ci_opts, target, wbytes(h, 2) + wbytes(1, h))
+
+    def shrink():
+        nonlocal bnq, bkwo, ci
+        cands = []
+        iq = qkv_opts.index(bnq)
+        if iq + 1 < len(qkv_opts):
+            cands.append(("q", wbytes(h, bnq)))
+        iw = wo_opts.index(bkwo)
+        if iw + 1 < len(wo_opts):
+            cands.append(("w", wbytes(bkwo, h)))
+        im = ci_opts.index(ci)
+        if im + 1 < len(ci_opts):
+            cands.append(("m", ci * (wbytes(h, 2) + wbytes(1, h))))
+        if not cands:
+            return False
+        which = max(cands, key=lambda t: t[1])[0]
+        if which == "q":
+            bnq = qkv_opts[iq + 1]
+        elif which == "w":
+            bkwo = wo_opts[iw + 1]
+        else:
+            ci = ci_opts[im + 1]
+        return True
+
+    while total(bnq, bkwo, ci) > VMEM_BUDGET:
+        if not shrink():
+            return None
+    return _Plan(
+        bnq=bnq, n_qkv=nq // bnq,
+        bkwo=bkwo, n_wo=dq // bkwo,
+        ci=ci, n_mlp=i_dim // ci,
+        bkv=bkv, nkv=nkv,
+    )
 
 
 def supports(config, params, cache, batch: int) -> bool:
@@ -81,21 +241,24 @@ def supports(config, params, cache, batch: int) -> bool:
         return False
     if lay.wgu.block_size != lay.wqkv.block_size:
         return False
-    if cache.capacity % min(512, cache.capacity) != 0:
-        return False
-    # MLP chunking must tile exactly
-    bs_i = lay.wdown.block_size
-    two_i = 2 * c.intermediate_size
-    bn_gu = largest_divisor_leq(two_i, 4992, 128)
-    bk_dn = largest_divisor_leq(c.intermediate_size, 2560, bs_i)
-    if two_i % bn_gu or c.intermediate_size % bk_dn:
-        return False
     bs_h = lay.wqkv.block_size
+    bs_i = lay.wdown.block_size
     if c.hidden_size % bs_h or c.q_dim % bs_h or c.intermediate_size % bs_i:
         return False
-    if bk_dn % bs_i:
+    # the in-kernel gate/up split assumes the 64-block interleave layout
+    if c.intermediate_size % 64:
         return False
-    return True
+    if cache.capacity % min(512, cache.capacity) != 0:
+        return False
+    return _plan(c, lay, cache, batch) is not None
+
+
+def _bf16r(v):
+    """Round f32 -> bf16 -> f32: replicate the per-layer path's op-boundary
+    dtype (decoder.py keeps x/qkv/act in bf16 between kernels; the
+    megakernel keeps everything in f32 VMEM, so parity requires rounding at
+    exactly the same points)."""
+    return v.astype(jnp.bfloat16).astype(jnp.float32)
 
 
 def _dequant_block(w_ref_slice, bits, dtype=jnp.bfloat16):
@@ -108,14 +271,12 @@ def _dequant_block(w_ref_slice, bits, dtype=jnp.bfloat16):
     return (w32 & 0xFF).astype(dtype)
 
 
-def _qmatmul(x_f32, w_ref, s_ref, b_ref, *, bits, bs, k, sb_off=0):
+def _qmatmul(x_f32, w_ref, s, b, *, bits, bs, k):
     """x @ dequant(W) with per-block scale/bias on partial products.
 
-    x_f32: [M, k] f32 value; w_ref block [1, k//pack, bn]; s/b blocks
-    [1, NB, bn] hold the layer's FULL quant-block axis (3D keeps the
-    natural T(8,128) tiling; a trailing singleton forced a per-step
-    relayout copy) with `sb_off` selecting this K-chunk's rows.
-    Returns [M, bn] f32.
+    x_f32: [M, k] f32 value; w_ref block [1, k//pack, bn]; s/b are LOADED
+    [NB, bn] plane values holding exactly this chunk's quant-block rows
+    (bf16 storage, upcast at use). Returns [M, bn] f32.
     """
     nb = k // bs
     half = bs // 2
@@ -132,8 +293,8 @@ def _qmatmul(x_f32, w_ref, s_ref, b_ref, *, bits, bs, k, sb_off=0):
         # dequant identity x@w = (x@q)*s + rowsum(x)*b needs one x, and
         # dequant_matmul sums its bf16 copy (numeric parity across paths)
         rsb = jnp.sum(xb.astype(jnp.float32), axis=1, keepdims=True)
-        sb = sb_off + kb
-        term = part * s_ref[0, sb:sb + 1] + rsb * b_ref[0, sb:sb + 1]
+        term = part * s[kb:kb + 1].astype(jnp.float32) \
+            + rsb * b[kb:kb + 1].astype(jnp.float32)
         acc = term if acc is None else acc + term
     return acc
 
@@ -158,39 +319,55 @@ def _kernel(
     kvsc_ref,                             # [1, BH, 8, 128] f32 rows 0/1
     # scratch
     x_scr,         # [B8, H] f32 residual stream
-    rn2_scr,       # [B8, H] f32 post-attention norm (MLP input)
+    rn_scr,        # [B8, H] f32 normed input (qkv phases) then MLP input
+    qkv_scr,       # [B8, NQ] f32 assembled qkv projection
+    acc_scr,       # [B8, H] f32 wo / down-proj accumulator
     q_scr,         # [BH, GP, D] f32 roped queries
     m_scr, l_scr,  # [BH, GP, 128] f32
     accA_scr,      # [BH, GP, D] f32 attention accumulator
     att_scr,       # [B8, DQ] f32 flattened attention output
-    act_scr,       # [B8, I] f32 SwiGLU activations
-    dn_scr,        # [B8, H] f32 down-proj accumulator
     *,
     b, hkv, g, gp, d, h, nq, dq,
-    bkv, nkv, n_gu, bn_gu, n_dn, bk_dn,
+    plan: _Plan,
     bits, bs_h, bs_i, has_qkv_bias, use_qk_norm,
     scale, eps, quantized, window, sink,
 ):
     l = pl.program_id(0)
     p = pl.program_id(1)
     nl = pl.num_programs(0)
-    WO = 1 + nkv
-    GU0 = 2 + nkv
-    DN0 = GU0 + n_gu
+    n_qkv, nkv = plan.n_qkv, plan.nkv
+    n_wo, n_mlp = plan.n_wo, plan.n_mlp
+    bnq, bkwo, ci, bkv = plan.bnq, plan.bkwo, plan.ci, plan.bkv
+    A0 = n_qkv
+    W0 = A0 + nkv
+    M0 = W0 + n_wo
 
-    # ---- p == 0: load x (layer 0), input norm, qkv projection, rope,
-    # ---- KV-quantize, softmax seed ----------------------------------------
-    @pl.when(p == 0)
-    def _qkv_phase():
-        @pl.when(l == 0)
-        def _():
-            x_scr[...] = x_ref[...]
-        x = x_scr[...]
-        rn = _rms(x, innorm_ref[0, 0], eps)
-        qkv = _qmatmul(rn, wqkv_ref, sq_ref, bq_ref, bits=bits, bs=bs_h, k=h)
-        if has_qkv_bias:
-            qkv = qkv + qkvb_ref[0, 0]
+    # ---- qkv column chunks (+ rope/quant/seed on the last one) -------------
+    for c_q in range(n_qkv):
+        @pl.when(p == c_q)
+        def _qkv_phase(c_q=c_q):
+            @pl.when(jnp.logical_and(l == 0, p == 0))
+            def _():
+                x_scr[...] = x_ref[...]
 
+            @pl.when(p == 0)
+            def _():
+                rn_scr[...] = _rms(x_scr[...], innorm_ref[0, 0], eps)
+
+            rn = rn_scr[...]
+            part = _qmatmul(rn, wqkv_ref, sq_ref[0], bq_ref[0],
+                            bits=bits, bs=bs_h, k=h)       # [B8, bnq]
+            if has_qkv_bias:
+                part = part + qkvb_ref[0, 0, c_q * bnq:(c_q + 1) * bnq]
+            part = _bf16r(part)   # per-layer qkv is a bf16 kernel output
+            if n_qkv == 1:
+                qkv_scr[...] = part
+            else:
+                qkv_scr[:, c_q * bnq:(c_q + 1) * bnq] = part
+
+    @pl.when(p == n_qkv - 1)
+    def _rope_seed_phase():
+        qkv = qkv_scr[...]
         # per (batch, kv-head): extract rows, rope, qk-norm, quantize, seed
         for bi in range(b):
             cos = cs_ref[bi, 0:1]
@@ -250,10 +427,10 @@ def _kernel(
                 l_scr[bh] = jnp.ones((gp, 128), jnp.float32)
                 accA_scr[bh] = jnp.broadcast_to(v_att, (gp, d))
 
-    # ---- p in [1, nkv]: attention over cache tiles -------------------------
-    @pl.when(jnp.logical_and(p >= 1, p <= nkv))
+    # ---- attention over cache tiles -----------------------------------------
+    @pl.when(jnp.logical_and(p >= A0, p < A0 + nkv))
     def _att_phase():
-        j = p - 1
+        j = p - A0
         kv_start = j * bkv
         for bi in range(b):
             len_old = lens_ref[bi]
@@ -303,7 +480,7 @@ def _kernel(
         # 64-lane head row across DQ, mask to its block, accumulate) so the
         # scr store is full-width — no unaligned sub-row stores, and every
         # addend is offset-0 (sublane-normalizing roll before the slice).
-        @pl.when(p == nkv)
+        @pl.when(p == A0 + nkv - 1)
         def _fin():
             colblk = jax.lax.broadcasted_iota(jnp.int32, (1, dq), 1) // d
             for bi in range(b):
@@ -319,53 +496,55 @@ def _kernel(
                         row = row + jnp.where(colblk == hi * g + r, tiled, 0.0)
                 att_scr[bi:bi + 1, :] = row
 
-    # ---- p == 1 + nkv: output projection + residual ------------------------
-    @pl.when(p == WO)
-    def _wo_phase():
-        att = att_scr[...]
-        o = _qmatmul(att, wo_ref, so_ref, bo_ref, bits=bits, bs=bs_h, k=dq)
-        x = x_scr[...] + o
-        # round through bf16 to match the unfused path's residual dtype
-        x = x.astype(jnp.bfloat16).astype(jnp.float32)
-        x_scr[...] = x
-        rn2_scr[...] = _rms(x, postnorm_ref[0, 0], eps)
+    # ---- output projection K-chunks + residual ------------------------------
+    for c_w in range(n_wo):
+        @pl.when(p == W0 + c_w)
+        def _wo_phase(c_w=c_w):
+            att = att_scr[...] if n_wo == 1 \
+                else att_scr[:, c_w * bkwo:(c_w + 1) * bkwo]
+            term = _qmatmul(att, wo_ref, so_ref[0, 0], bo_ref[0, 0],
+                            bits=bits, bs=bs_h, k=bkwo)
+            if c_w == 0:
+                acc_scr[...] = term
+            else:
+                acc_scr[...] = acc_scr[...] + term
 
-    # ---- gate/up chunks + SwiGLU -------------------------------------------
+            if c_w == n_wo - 1:
+                # per-layer: o is a bf16 kernel output, then x = x + o in
+                # bf16 — round o first, then the bf16 residual sum
+                x = _bf16r(x_scr[...] + _bf16r(acc_scr[...]))
+                x_scr[...] = x
+                rn_scr[...] = _rms(x, postnorm_ref[0, 0], eps)
+
+    # ---- fused MLP chunk pairs: gate/up chunk -> SwiGLU -> down chunk -------
     # wgu columns are 64-block gate/up interleaved (layers.GU_BLOCK): split
     # with aligned lane slices — Mosaic has no strided slice / pair reshape.
-    for c_gu in range(n_gu):
-        @pl.when(p == GU0 + c_gu)
-        def _gu_phase(c_gu=c_gu):
-            rn2 = rn2_scr[...]
-            part = _qmatmul(rn2, wgu_ref, sg_ref, bg_ref,
-                            bits=bits, bs=bs_h, k=h)      # [B8, bn_gu]
+    for c_m in range(n_mlp):
+        @pl.when(p == M0 + c_m)
+        def _mlp_phase(c_m=c_m):
+            rn2 = rn_scr[...]
+            part = _qmatmul(rn2, wgu_ref, sg_ref[0], bg_ref[0],
+                            bits=bits, bs=bs_h, k=h)      # [B8, 2*ci]
+            part = _bf16r(part)   # per-layer gu is a bf16 kernel output
             # 64-lane-shifted copy so 'up' slices start 128-aligned too
-            part_s = pltpu.roll(part, bn_gu - 64, 1)
+            part_s = pltpu.roll(part, 2 * ci - 64, 1)
             gate = jnp.concatenate(
                 [part[:, kb * 128:kb * 128 + 64]
-                 for kb in range(bn_gu // 128)], axis=1)
+                 for kb in range(ci // 64)], axis=1)
             up = jnp.concatenate(
                 [part_s[:, kb * 128:kb * 128 + 64]
-                 for kb in range(bn_gu // 128)], axis=1)
-            act = gate * jax.lax.logistic(gate) * up
-            act_scr[:, c_gu * (bn_gu // 2):(c_gu + 1) * (bn_gu // 2)] = act
-
-    # ---- down-proj chunks + residual ---------------------------------------
-    for c_dn in range(n_dn):
-        @pl.when(p == DN0 + c_dn)
-        def _dn_phase(c_dn=c_dn):
-            act = act_scr[:, c_dn * bk_dn:(c_dn + 1) * bk_dn]
-            term = _qmatmul(act, wdn_ref, sd_ref, bd_ref, bits=bits,
-                            bs=bs_i, k=bk_dn,
-                            sb_off=c_dn * (bk_dn // bs_i))
-            if c_dn == 0:
-                dn_scr[...] = term
+                 for kb in range(ci // 64)], axis=1)
+            # per-layer swiglu: silu(gate f32) -> bf16, then a bf16 product
+            act = _bf16r(_bf16r(gate * jax.lax.logistic(gate)) * up)
+            term = _qmatmul(act, wdn_ref, sd_ref[0, 0], bd_ref[0, 0],
+                            bits=bits, bs=bs_i, k=ci)     # [B8, H]
+            if c_m == 0:
+                acc_scr[...] = term
             else:
-                dn_scr[...] = dn_scr[...] + term
+                acc_scr[...] = acc_scr[...] + term
 
-            if c_dn == n_dn - 1:
-                x = x_scr[...] + dn_scr[...]
-                x = x.astype(jnp.bfloat16).astype(jnp.float32)
+            if c_m == n_mlp - 1:
+                x = _bf16r(x_scr[...] + _bf16r(acc_scr[...]))
                 x_scr[...] = x
 
                 @pl.when(l == nl - 1)
@@ -385,9 +564,6 @@ def fused_decode_model(
     sin: jax.Array,
     *,
     config,
-    block_kv: int = 1024,
-    gu_cap: int = 4992,
-    dn_cap: int = 4992,
     interpret: bool = False,
 ):
     """Run all decoder layers for one decode position in one kernel.
@@ -416,34 +592,23 @@ def fused_decode_model(
         raise ValueError("megakernel requires uniform hidden-dim block size")
     sm_scale = 1.0 / (d ** 0.5)
 
-    # largest tile <= block_kv that divides the capacity (supports() gates
-    # s % 512 == 0, but e.g. s=1536 needs bkv=512, not min(1024, 1536))
-    bkv = largest_divisor_leq(s, min(block_kv, s), min(512, s))
-    if s % bkv:
-        raise ValueError(f"cache capacity {s} % block_kv {bkv} != 0")
-    nkv = s // bkv
+    @dataclasses.dataclass
+    class _CacheView:
+        capacity: int
+        bits: int
 
-    # MLP chunking (all multiples of 128 dividing the dimension)
-    two_i = 2 * i_dim
-    # chunks must span whole 64-block gate/up pairs -> multiples of 128
-    # VMEM-aware chunk caps: each revolving weight buffer (x2 buffers)
-    # stays under ~2.5 MB so the whole pipeline fits the ~16 MB VMEM.
-    # Fewer, larger phases measure faster (each grid step costs ~0.8 us of
-    # fixed overhead on chip) until buffers crowd VMEM — whole-gu (8.7 MB
-    # buffered) measured 15% SLOWER than two chunks, so the budget binds.
-    buf_budget = 2_500_000
-    _pack = 2 if bits == 4 else 1
-    gu_eff = min(gu_cap, max(128, buf_budget * _pack // h))
-    dn_eff = min(dn_cap, max(bs_i, buf_budget * _pack // h))
-    bn_gu = largest_divisor_leq(two_i, gu_eff, 128)
-    n_gu = two_i // bn_gu
-    bk_dn = largest_divisor_leq(i_dim, dn_eff, bs_i)
-    n_dn = i_dim // bk_dn
+    plan = _plan(c, layers,
+                 _CacheView(capacity=s, bits=8 if quantized else 16), b)
+    if plan is None:
+        raise ValueError("megakernel: no VMEM-feasible chunk plan "
+                         "(supports() should have gated this config)")
+    n_qkv, nkv, n_wo, n_mlp = plan.n_qkv, plan.nkv, plan.n_wo, plan.n_mlp
+    bnq, bkwo, ci, bkv = plan.bnq, plan.bkwo, plan.ci, plan.bkv
 
-    WO = 1 + nkv
-    GU0 = 2 + nkv
-    DN0 = GU0 + n_gu
-    P = DN0 + n_dn
+    A0 = n_qkv
+    W0 = A0 + nkv
+    M0 = W0 + n_wo
+    P = plan.phases
 
     b8 = 8
     xp = jnp.zeros((b8, h), jnp.float32).at[:b].set(x.astype(jnp.float32))
@@ -459,10 +624,6 @@ def fused_decode_model(
     has_qkv_bias = lay.wqkv.out_bias is not None
     use_qk_norm = c.qk_norm
 
-    nb_h = h // bs_h
-    nb_gu = nb_h
-    nb_dn_blk = bk_dn // bs_i
-    nb_o = dq // bs_h
     pack = 2 if bits == 4 else 1
 
     # scale/bias planes as [L, nb, N]: 3D blocks keep the natural T(8,128)
@@ -471,14 +632,21 @@ def fused_decode_model(
     def plane(a, k_dim, bs):
         return a.reshape(nl, k_dim // bs, a.shape[-1])
 
+    # K-chunked planes (wo/wdown) go 4D [L, n_chunks, nb_chunk, N] so the
+    # per-chunk block is FULL in its last two dims — a 3D block of
+    # (1, nb_chunk, N) with nb_chunk neither a multiple of 8 nor the full
+    # dim violates Mosaic's block-shape rule (hit on chip at 7B dims)
+    def plane4(a, k_dim, bs, chunk):
+        return a.reshape(nl, k_dim // chunk, chunk // bs, a.shape[-1])
+
     sq = plane(lay.wqkv.scale, h, bs_h)
     bq = plane(lay.wqkv.bias, h, bs_h)
-    so = plane(lay.wo.scale, dq, bs_h)
-    bo = plane(lay.wo.bias, dq, bs_h)
+    so = plane4(lay.wo.scale, dq, bs_h, bkwo)
+    bo = plane4(lay.wo.bias, dq, bs_h, bkwo)
     sg = plane(lay.wgu.scale, h, bs_h)
     bg = plane(lay.wgu.bias, h, bs_h)
-    sd = plane(lay.wdown.scale, i_dim, bs_i)
-    bd = plane(lay.wdown.bias, i_dim, bs_i)
+    sd = plane4(lay.wdown.scale, i_dim, bs_i, ci)
+    bd = plane4(lay.wdown.bias, i_dim, bs_i, ci)
     if has_qkv_bias:
         qkvb = lay.wqkv.out_bias.reshape(nl, 1, nq)
     else:
@@ -501,55 +669,48 @@ def fused_decode_model(
         vs4 = jnp.zeros((1, b * hkv, 1, 128), jnp.float32)
 
     # ---- staged index maps (fetch one step before the consuming phase) ----
-    def at_qkv(l_, p_, L):          # needed at p=0; flat per layer
-        return (l_, 0, 0)
-
-    def at_qkv_sc(l_, p_, L):
-        return (l_, 0, 0)
+    # Chunked operands clamp their chunk index into the phase range, so the
+    # next chunk's DMA is issued during the previous phase and the first
+    # chunk of layer l+1 is issued during layer l's last phase.
+    def at_qkv(l_, p_, L):
+        ch = jnp.clip(p_, 0, n_qkv - 1)
+        return (l_, 0, ch)
 
     def at_qkvb(l_, p_, L):
         return (l_ if has_qkv_bias else 0, 0, 0)
 
-    def at_wo(l_, p_, L):           # needed at p=WO
-        lw = jnp.where(p_ >= WO, l_, jnp.maximum(l_ - 1, 0))
-        return (lw, 0, 0)
+    def at_wo(l_, p_, L):
+        lw = jnp.where(p_ >= W0, l_, jnp.maximum(l_ - 1, 0))
+        ch = jnp.where(p_ >= W0, jnp.clip(p_ - W0, 0, n_wo - 1), n_wo - 1)
+        return (lw, ch, 0)
 
     def at_wo_sc(l_, p_, L):
-        lw = jnp.where(p_ >= WO, l_, jnp.maximum(l_ - 1, 0))
-        return (lw, 0, 0)
+        lw = jnp.where(p_ >= W0, l_, jnp.maximum(l_ - 1, 0))
+        ch = jnp.where(p_ >= W0, jnp.clip(p_ - W0, 0, n_wo - 1), n_wo - 1)
+        return (lw, ch, 0, 0)
 
-    def gu_chunk(l_, p_):
-        in_phase = jnp.logical_and(p_ >= GU0, p_ < GU0 + n_gu)
-        lw = jnp.where(p_ >= GU0, l_, jnp.maximum(l_ - 1, 0))
-        ch = jnp.where(in_phase, jnp.maximum(p_ - GU0, 0), n_gu - 1)
+    def mlp_chunk(l_, p_):
+        in_phase = p_ >= M0
+        lw = jnp.where(in_phase, l_, jnp.maximum(l_ - 1, 0))
+        ch = jnp.where(in_phase, jnp.clip(p_ - M0, 0, n_mlp - 1), n_mlp - 1)
         return lw, ch
 
     def at_gu(l_, p_, L):
-        lw, ch = gu_chunk(l_, p_)
+        lw, ch = mlp_chunk(l_, p_)
         return (lw, 0, ch)
-
-    def at_gu_sc(l_, p_, L):
-        lw, ch = gu_chunk(l_, p_)
-        return (lw, 0, ch)
-
-    def dn_chunk(l_, p_):
-        in_phase = p_ >= DN0
-        lw = jnp.where(in_phase, l_, jnp.maximum(l_ - 1, 0))
-        ch = jnp.where(in_phase, jnp.maximum(p_ - DN0, 0), n_dn - 1)
-        return lw, ch
 
     def at_dn(l_, p_, L):
-        lw, ch = dn_chunk(l_, p_)
+        lw, ch = mlp_chunk(l_, p_)
         return (lw, ch, 0)
 
     def at_dn_sc(l_, p_, L):
-        lw, _ = dn_chunk(l_, p_)
-        return (lw, 0, 0)
+        lw, ch = mlp_chunk(l_, p_)
+        return (lw, ch, 0, 0)
 
     def kv_tile(l_, p_):
-        in_phase = jnp.logical_and(p_ >= 1, p_ <= nkv)
-        lw = jnp.where(p_ >= 1, l_, jnp.maximum(l_ - 1, 0))
-        t = jnp.where(in_phase, jnp.maximum(p_ - 1, 0), nkv - 1)
+        in_phase = jnp.logical_and(p_ >= A0, p_ < A0 + nkv)
+        lw = jnp.where(p_ >= A0, l_, jnp.maximum(l_ - 1, 0))
+        t = jnp.where(in_phase, jnp.clip(p_ - A0, 0, nkv - 1), nkv - 1)
         return lw, t
 
     def at_kv(l_, p_, L):
@@ -574,30 +735,30 @@ def fused_decode_model(
 
     kernel = functools.partial(
         _kernel,
-        b=b, hkv=hkv, g=g, gp=gp, d=d, h=h, nq=nq,
-        dq=dq, bkv=bkv, nkv=nkv, n_gu=n_gu, bn_gu=bn_gu, n_dn=n_dn,
-        bk_dn=bk_dn, bits=bits, bs_h=bs_h, bs_i=bs_i,
+        b=b, hkv=hkv, g=g, gp=gp, d=d, h=h, nq=nq, dq=dq,
+        plan=plan, bits=bits, bs_h=bs_h, bs_i=bs_i,
         has_qkv_bias=has_qkv_bias, use_qk_norm=use_qk_norm,
         scale=sm_scale, eps=c.rms_norm_eps, quantized=quantized,
         window=c.sliding_window, sink=c.attention_sink,
     )
 
+    nb_h = h // bs_h
     in_specs = [
         pl.BlockSpec((b8, h), const2),                      # x
         pl.BlockSpec((b8, 2, d), const3),                   # cos/sin
-        pl.BlockSpec((1, h // pack, nq), at_qkv),           # wqkv
-        pl.BlockSpec((1, nb_h, nq), at_qkv_sc),             # sq
-        pl.BlockSpec((1, nb_h, nq), at_qkv_sc),             # bq
+        pl.BlockSpec((1, h // pack, bnq), at_qkv),          # wqkv chunk
+        pl.BlockSpec((1, nb_h, bnq), at_qkv),               # sq
+        pl.BlockSpec((1, nb_h, bnq), at_qkv),               # bq
         pl.BlockSpec((1, 1, nq), at_qkvb),                  # qkv out-bias
-        pl.BlockSpec((1, dq // pack, h), at_wo),            # wo
-        pl.BlockSpec((1, nb_o, h), at_wo_sc),               # so
-        pl.BlockSpec((1, nb_o, h), at_wo_sc),               # bo
-        pl.BlockSpec((1, h // pack, bn_gu), at_gu),         # wgu chunk
-        pl.BlockSpec((1, nb_gu, bn_gu), at_gu_sc),          # sg
-        pl.BlockSpec((1, nb_gu, bn_gu), at_gu_sc),          # bg
-        pl.BlockSpec((1, bk_dn // pack, h), at_dn),         # wdown chunk
-        pl.BlockSpec((1, i_dim // bs_i, h), at_dn_sc),      # sd (full layer)
-        pl.BlockSpec((1, i_dim // bs_i, h), at_dn_sc),      # bd
+        pl.BlockSpec((1, bkwo // pack, h), at_wo),          # wo chunk
+        pl.BlockSpec((1, 1, bkwo // bs_h, h), at_wo_sc),    # so
+        pl.BlockSpec((1, 1, bkwo // bs_h, h), at_wo_sc),    # bo
+        pl.BlockSpec((1, h // pack, 2 * ci), at_gu),        # wgu chunk
+        pl.BlockSpec((1, nb_h, 2 * ci), at_gu),             # sg
+        pl.BlockSpec((1, nb_h, 2 * ci), at_gu),             # bg
+        pl.BlockSpec((1, ci // pack, h), at_dn),            # wdown chunk
+        pl.BlockSpec((1, 1, ci // bs_i, h), at_dn_sc),      # sd
+        pl.BlockSpec((1, 1, ci // bs_i, h), at_dn_sc),      # bd
         pl.BlockSpec((1, 1, h), at_norm),                   # input_norm
         pl.BlockSpec((1, 1, h), at_norm),                   # post_norm
         pl.BlockSpec((1, 2, d), at_qkn),                    # qk norms
@@ -622,6 +783,7 @@ def fused_decode_model(
         pl.BlockSpec((1, b * hkv, 8, 128), lambda l_, p_, L: (l_, 0, 0, 0)),
     ]
 
+    two_i = 2 * i_dim
     outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -631,14 +793,14 @@ def fused_decode_model(
             out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((b8, h), jnp.float32),          # x
-                pltpu.VMEM((b8, h), jnp.float32),          # rn2
+                pltpu.VMEM((b8, h), jnp.float32),          # rn
+                pltpu.VMEM((b8, nq), jnp.float32),         # qkv
+                pltpu.VMEM((b8, h), jnp.float32),          # acc
                 pltpu.VMEM((b * hkv, gp, d), jnp.float32),  # q
                 pltpu.VMEM((b * hkv, gp, 128), jnp.float32),  # m
                 pltpu.VMEM((b * hkv, gp, 128), jnp.float32),  # l
-                pltpu.VMEM((b * hkv, gp, d), jnp.float32),  # acc
+                pltpu.VMEM((b * hkv, gp, d), jnp.float32),  # accA
                 pltpu.VMEM((b8, dq), jnp.float32),         # att
-                pltpu.VMEM((b8, i_dim), jnp.float32),      # act
-                pltpu.VMEM((b8, h), jnp.float32),          # dn acc
             ],
         ),
         out_shape=out_shape,

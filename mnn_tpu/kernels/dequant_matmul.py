@@ -78,8 +78,8 @@ def _kernel_a8(lidx_ref, x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref,
             xb, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
         )
         rsb = jnp.sum(xb.astype(jnp.int32), axis=1, keepdims=True)
-        acc = acc + part.astype(jnp.float32) * s_ref[0, kb] \
-            + rsb.astype(jnp.float32) * b_ref[0, kb]
+        acc = acc + part.astype(jnp.float32) * s_ref[0, kb].astype(jnp.float32) \
+            + rsb.astype(jnp.float32) * b_ref[0, kb].astype(jnp.float32)
     acc_ref[...] = acc
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -117,7 +117,8 @@ def _kernel(lidx_ref, x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref,
             if nb == 1
             else jnp.sum(xb.astype(jnp.float32), axis=1, keepdims=True)
         )
-        acc = acc + part * s_ref[0, kb] + rsb * b_ref[0, kb]
+        acc = acc + part * s_ref[0, kb].astype(jnp.float32) \
+            + rsb * b_ref[0, kb].astype(jnp.float32)
     acc_ref[...] = acc
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -332,7 +333,10 @@ def _dequant_matmul_pallas(
         )
         center = 1 << (ql.bits - 1)
         scale_in = scale
-        bias_in = center * scale + bias  # fold signed re-centering
+        # fold signed re-centering in f32 (a8 is the compute-bound prefill
+        # path, so f32 planes cost no meaningful bandwidth there)
+        bias_in = (center * scale.astype(jnp.float32)
+                   + bias.astype(jnp.float32))
     else:
         kernel = functools.partial(
             _kernel, bits=ql.bits, block_size=bs, nb=nb

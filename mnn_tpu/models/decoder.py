@@ -268,7 +268,7 @@ def init_random_params(
             ).astype(jnp.int8)
             qmax = (1 << quant_bits) - 1
             s = jnp.full(
-                (c.num_layers, k_dim // bs, n_dim), 2 * scale / qmax, jnp.float32
+                (c.num_layers, k_dim // bs, n_dim), 2 * scale / qmax, jnp.bfloat16
             )
             stacked = QuantizedLinear(
                 packed=packed, scale=s, bias=-s * (qmax / 2), out_bias=None,
@@ -298,7 +298,7 @@ def init_random_params(
                 key, (le, k_dim // pack, n_dim), -128, 128, jnp.int32
             ).astype(jnp.int8)
             qmax = (1 << quant_bits) - 1
-            s = jnp.full((le, k_dim // bs, n_dim), 2 * scale / qmax, jnp.float32)
+            s = jnp.full((le, k_dim // bs, n_dim), 2 * scale / qmax, jnp.bfloat16)
             stacked = QuantizedLinear(
                 packed=packed, scale=s, bias=-s * (qmax / 2), out_bias=None,
                 bits=quant_bits, block_size=bs,
@@ -361,7 +361,7 @@ def init_random_params(
             qmax = (1 << lm_head_bits) - 1
             s = jnp.full(
                 (c.hidden_size // bs_h, c.vocab_size), 2 * scale / qmax,
-                jnp.float32,
+                jnp.bfloat16,
             )
             lm_head = QuantizedLinear(
                 packed=jax.random.randint(
@@ -419,7 +419,7 @@ def _attention(
 
 def _forward_unrolled(
     params, c, x, cache, cos, sin, start, kv_len, b, t,
-    *, lora, tp_axis, interpret, qkv_split,
+    *, lora, tp_axis, interpret, qkv_split, megakernel=None,
 ):
     """Unrolled layer loop over [L, ...]-stacked weights and KV cache.
 
@@ -441,8 +441,8 @@ def _forward_unrolled(
     # whole-model megakernel: all layers in ONE pallas_call (see
     # kernels/decode_model.py). Strictly better than the per-layer fused
     # path when eligible — falls through otherwise.
-    if (t == 1 and use_pallas(interpret) and lora is None
-            and tp_axis is None):
+    if (megakernel is not False and t == 1 and use_pallas(interpret)
+            and lora is None and tp_axis is None):
         from mnn_tpu.kernels import decode_model
 
         if decode_model.supports(c, params, cache, b):
@@ -555,7 +555,7 @@ def _forward_unrolled(
 @functools.partial(
     jax.jit,
     static_argnames=("config", "all_logits", "interpret", "tp_axis",
-                     "return_hidden", "layer_scan"),
+                     "return_hidden", "layer_scan", "megakernel"),
 )
 def forward(
     params: Params,
@@ -571,6 +571,7 @@ def forward(
     position_ids: Optional[jax.Array] = None,   # [B, T, 3] mrope (t, h, w)
     return_hidden: bool = False,  # pipeline stages: skip the head
     layer_scan: Optional[bool] = None,  # None = auto (scan only for MoE)
+    megakernel: Optional[bool] = None,  # None = auto; False = force per-layer
 ) -> Tuple[jax.Array, KVCache]:
     """Run the model over `tokens`, appending T positions to the cache.
 
@@ -722,7 +723,7 @@ def forward(
         x, new_cache = _forward_unrolled(
             params, c, x, cache, cos, sin, start, kv_len, b, t,
             lora=lora, tp_axis=tp_axis, interpret=interpret,
-            qkv_split=qkv_split,
+            qkv_split=qkv_split, megakernel=megakernel,
         )
 
     if return_hidden:

@@ -17,7 +17,15 @@ TPU-native layout decisions (this file defines the checkpoint format):
     so both nibbles of a byte always share one (scale, bias) and the Pallas
     kernel can unpack with a reshape + concat, no cross-block interleave;
   * packed storage dtype is int8 (Mosaic has no uint8->bf16 cast; kernels
-    unpack via int32 masks), scales/biases are float32 [K//block_size, N].
+    unpack via int32 masks);
+  * scales/biases are bfloat16 [K//block_size, N] — the scale planes are
+    ~12.5% of the packed-int4 bytes at block 128 and decode streams them
+    every token, so halving them buys ~6% of the HBM decode roofline. The
+    reference stores its alpha scales as fp16 for the same reason (IDSTQuan
+    fp16 scale storage, /root/reference/schema/default/CaffeOp.fbs:62-84);
+    bf16 is the TPU-native equivalent. Kernels upcast to f32 at use, so
+    every path (XLA oracle, fused kernels, megakernel) sees identical
+    values.
 """
 
 from __future__ import annotations
@@ -41,8 +49,8 @@ class QuantizedLinear:
     """
 
     packed: jax.Array  # int8  [K//2, N] (int4) or [K, N] (int8 storage of q)
-    scale: jax.Array   # f32   [K//block_size, N]
-    bias: jax.Array    # f32   [K//block_size, N] (additive term; 0-centered for sym)
+    scale: jax.Array   # bf16  [K//block_size, N] (f32 accepted; kernels upcast)
+    bias: jax.Array    # bf16  [K//block_size, N] (additive term; 0-centered for sym)
     out_bias: Optional[jax.Array]  # f32 [N] or None
     bits: int = dataclasses.field(metadata=dict(static=True), default=4)
     block_size: int = dataclasses.field(metadata=dict(static=True), default=128)
@@ -114,6 +122,29 @@ def unpack_int4(packed: jax.Array, block_size: int) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=1).reshape(kh * 2, n)
 
 
+def _bf16_round_up(x: jax.Array) -> jax.Array:
+    """f32 -> nearest bf16 value >= x, returned upcast to f32 (x > 0)."""
+    b = x.astype(jnp.bfloat16)
+    f = b.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(b, jnp.uint16)
+    bumped = jax.lax.bitcast_convert_type(
+        (bits + 1).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+    return jnp.where(f < x, bumped, f)
+
+
+def _bf16_round_down(x: jax.Array) -> jax.Array:
+    """f32 -> nearest bf16 value <= x, returned upcast to f32 (any sign)."""
+    b = x.astype(jnp.bfloat16)
+    f = b.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(b, jnp.uint16)
+    down_bits = jnp.where(f > 0, bits - 1, bits + 1).astype(jnp.uint16)
+    down = jax.lax.bitcast_convert_type(
+        down_bits, jnp.bfloat16).astype(jnp.float32)
+    # f == 0 with x < 0: step to the smallest-magnitude negative bf16
+    down = jnp.where(f == 0, jnp.float32(-1.1754944e-38), down)
+    return jnp.where(f > x, down, f)
+
+
 def quantize(
     w: jax.Array | np.ndarray,
     bits: int = 4,
@@ -130,18 +161,26 @@ def quantize(
     center = 1 << (bits - 1)
     blocks = w.reshape(k // block_size, block_size, n)
 
+    # scales/biases are STORED in bf16 (see module docstring); round them
+    # first — scale toward +inf and wmin toward -inf so the bf16 grid still
+    # COVERS [wmin, wmax] (a nearest-rounded-down scale would clip wmax by
+    # up to qmax ulps, breaking the |err| <= scale/2 bound) — and quantize
+    # against the rounded values so q is optimal for exactly the
+    # (scale, bias) the kernels will read back
     if sym:
         absmax = jnp.max(jnp.abs(blocks), axis=1)  # [nb, N]
         scale = absmax / (center - 1)
         scale = jnp.where(scale == 0, 1.0, scale)
+        scale = _bf16_round_up(scale)
         q = jnp.round(blocks / scale[:, None, :]) + center
         q = jnp.clip(q, 1, qmax)  # symmetric range [-(center-1), center-1]
         bias = -float(center) * scale
     else:
-        wmin = jnp.min(blocks, axis=1)
+        wmin = _bf16_round_down(jnp.min(blocks, axis=1))
         wmax = jnp.max(blocks, axis=1)
         scale = (wmax - wmin) / qmax
         scale = jnp.where(scale == 0, 1.0, scale)
+        scale = _bf16_round_up(scale)
         q = jnp.round((blocks - wmin[:, None, :]) / scale[:, None, :])
         q = jnp.clip(q, 0, qmax)
         bias = wmin
@@ -154,8 +193,8 @@ def quantize(
         packed = jax.lax.bitcast_convert_type(q.astype(jnp.uint8), jnp.int8)
     return QuantizedLinear(
         packed=packed,
-        scale=scale.astype(jnp.float32),
-        bias=bias.astype(jnp.float32),
+        scale=scale.astype(jnp.bfloat16),
+        bias=bias.astype(jnp.bfloat16),
         out_bias=None if out_bias is None else jnp.asarray(out_bias, jnp.float32),
         bits=bits,
         block_size=block_size,

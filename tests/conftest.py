@@ -16,7 +16,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    flags += " --xla_force_host_platform_device_count=8"
+# Deterministic bf16 rounding: XLA's excess-precision optimization elides
+# internal f32->bf16->f32 round-trips when the bf16 value is not a program
+# output, so the SAME eager math produces different results depending on
+# what is returned — which breaks exact-parity oracles (megakernel vs
+# per-layer must match bit-near; the rounding points are the contract).
+if "xla_allow_excess_precision" not in flags:
+    flags += " --xla_allow_excess_precision=false"
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 

@@ -41,44 +41,60 @@ def _setup(cfg, batch=1, cap=128, quantized=True, bits=4, prefill_len=9):
 
 
 def _perlayer_forward(params, cfg, tok, cache):
-    """Trusted per-layer Pallas path (megakernel dispatch disabled)."""
-    orig = decode_model.supports
-    decode_model.supports = lambda *a, **k: False
-    try:
-        return forward(params, cfg, tok, cache, interpret=True)
-    finally:
-        decode_model.supports = orig
+    """Trusted per-layer Pallas path (megakernel dispatch disabled).
+
+    Uses the static `megakernel=False` argument — NOT a supports()
+    monkeypatch: `forward` is jit-cached, so a patched trace under the
+    same signature would poison the cache and silently serve the
+    per-layer computation to the megakernel calls (this happened; the
+    suite passed vacuously while the kernel itself was broken).
+    """
+    return forward(params, cfg, tok, cache, interpret=True,
+                   megakernel=False)
 
 
 def _compare(cfg, params, cache, steps=3, batch=1):
+    """Per-step parity: at every step, the per-layer and XLA paths run from
+    the SAME state the megakernel is about to consume (megakernel evolution
+    is canonical). Evolving the caches independently would let ~1e-8 f32
+    reassociation noise (different chunk/tile summation orders) flip an
+    int8 KV rounding boundary and compound across steps — the contract is
+    per-step equivalence, not bit-identical f32 reassociation."""
     tok = jax.random.randint(
         jax.random.PRNGKey(2), (batch, 1), 0, cfg.vocab_size, jnp.int32
     )
-    cache_ref = cache
-    cache_pl = cache
     cache_mk = cache
     for _ in range(steps):
-        ref, cache_ref = forward(params, cfg, tok, cache_ref, interpret=False)
-        pl_, cache_pl = _perlayer_forward(params, cfg, tok, cache_pl)
+        ref, _ = forward(params, cfg, tok, cache_mk, interpret=False)
+        pl_, cache_pl = _perlayer_forward(params, cfg, tok, cache_mk)
         mk, cache_mk = forward(params, cfg, tok, cache_mk, interpret=True)
         r = np.asarray(ref, np.float32)
         p = np.asarray(pl_, np.float32)
         m = np.asarray(mk, np.float32)
         assert np.all(np.isfinite(m))
-        # vs the per-layer Pallas path: same math, near-exact
+        # cache rows written this step must match the per-layer writes;
+        # a 1-level difference is a legitimate round() tie (the two paths'
+        # f32 chunk-summation orders differ by ~1e-8, which flips ties)
+        assert int(cache_mk.length[0]) == int(cache_pl.length[0])
+        n = int(cache_pl.length[0])
+        max_level = 0.0
+        for name in ("k", "v"):
+            a = np.asarray(getattr(cache_mk, name), np.float32)[:, :, :, :n]
+            b = np.asarray(getattr(cache_pl, name), np.float32)[:, :, :, :n]
+            d = np.abs(a - b).max()
+            max_level = max(max_level, float(d))
+            lim = 1.0 if cache_mk.quantized else 1e-5
+            assert d <= lim, (name, d)
+        # vs the per-layer Pallas path: same math -> near-exact, UNLESS a
+        # KV round() tie flipped this step (then quantization noise ~1e-2)
         rel_pl = np.linalg.norm(m - p) / max(np.linalg.norm(p), 1e-9)
-        assert rel_pl < 1e-4, f"megakernel vs per-layer rel err {rel_pl}"
+        lim_pl = 1e-4 if max_level == 0.0 else 2e-2
+        assert rel_pl < lim_pl, \
+            f"megakernel vs per-layer rel err {rel_pl} (kv tie={max_level})"
         # vs the XLA reference: within quantization-algebra noise
         rel = np.linalg.norm(m - r) / max(np.linalg.norm(r), 1e-9)
         assert rel < 5e-2, f"logits rel err {rel}"
         tok = jnp.argmax(mk, axis=-1).astype(jnp.int32)[:, None]
-    # cache contents written by the kernel must match the per-layer writes
-    assert int(cache_mk.length[0]) == int(cache_pl.length[0])
-    n = int(cache_pl.length[0])
-    for name in ("k", "v"):
-        a = np.asarray(getattr(cache_mk, name), np.float32)[:, :, :, :n]
-        b = np.asarray(getattr(cache_pl, name), np.float32)[:, :, :, :n]
-        assert np.abs(a - b).max() < 1e-5, name
 
 
 class TestMegakernel:
@@ -116,6 +132,45 @@ class TestMegakernel:
         # capacity 1024 -> 2 KV tiles of 512
         params, cache = _setup(BASE, cap=1024, prefill_len=30)
         _compare(BASE, params, cache)
+
+    def test_multichunk_plan(self):
+        """7B-shaped code path: force the VMEM planner to chunk EVERY
+        projection (n_qkv/n_wo/n_mlp > 1) by shrinking the budget, then
+        check the chunked kernel against the per-layer path. Calls
+        fused_decode_model directly — forward() is jit-cached, so a
+        budget monkeypatch would not invalidate an existing trace."""
+        cfg = dataclasses.replace(BASE, num_heads=8)
+        params, cache = _setup(cfg)
+        orig_budget = decode_model.VMEM_BUDGET
+        decode_model.VMEM_BUDGET = 1 << 19
+        try:
+            plan = decode_model._plan(
+                cfg, params.layers,
+                type("CV", (), {"capacity": cache.capacity, "bits": 8})(), 1)
+            assert plan is not None
+            assert plan.n_qkv > 1 and plan.n_wo > 1 and plan.n_mlp > 1, plan
+            tok = jax.random.randint(
+                jax.random.PRNGKey(2), (1, 1), 0, cfg.vocab_size, jnp.int32)
+            from mnn_tpu.models.layers import rope_cos_sin
+
+            x = params.embedding[tok[:, 0]]
+            cos, sin = rope_cos_sin(
+                cache.length[:, None], cfg.head_dim, cfg.rope_theta)
+            cos_f = jnp.concatenate([cos[:, 0], cos[:, 0]], axis=-1)
+            sin_f = jnp.concatenate([sin[:, 0], sin[:, 0]], axis=-1)
+            xh, k_rows, v_rows, k_sc, v_sc = decode_model.fused_decode_model(
+                x, params.layers, cache.k, cache.v, cache.k_scale,
+                cache.v_scale, cache.length, cos_f, sin_f, config=cfg,
+                interpret=True)
+        finally:
+            decode_model.VMEM_BUDGET = orig_budget
+        # reference hidden from the per-layer path
+        ph, _ = forward(params, cfg, tok, cache, interpret=True,
+                        megakernel=False, return_hidden=True)
+        want = np.asarray(ph[:, 0], np.float32)
+        got = np.asarray(xh, np.float32)
+        rel = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-9)
+        assert rel < 1e-4, f"multichunk rel err {rel} (plan {plan})"
 
     def test_decode_matches_prefill(self):
         # end-to-end: N megakernel decode steps == one fresh prefill
