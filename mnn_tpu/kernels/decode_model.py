@@ -54,6 +54,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -97,7 +98,16 @@ class _Plan:
 
 
 def _plan(c, layers, cache, batch: int) -> Optional[_Plan]:
-    """Solve chunk sizes under the VMEM budget; None if infeasible."""
+    """Solve chunk sizes under the VMEM budget; None if infeasible.
+
+    Objective: MINIMIZE the total phase count (grid steps/token) subject to
+    the double-buffered VMEM footprint fitting the budget — every extra
+    phase is a smaller per-phase matmul and another round of DMA descriptor
+    overhead (round 2 seeded chunks at a hardcoded ~2.5MB target and only
+    ever shrank, which fragmented the 0.5B bench into 19 MLP phases/layer
+    and cost 31% decode throughput). The divisor lattices are tiny, so an
+    exhaustive scan is exact and runs once at trace time.
+    """
     lay = layers
     h = c.hidden_size
     d = c.head_dim
@@ -113,45 +123,50 @@ def _plan(c, layers, cache, batch: int) -> Optional[_Plan]:
     b8 = 8
     g = c.num_heads // hkv
     gp = round_up(g, 8)
-    sb = 2  # scale/bias plane element bytes (bf16); f32 planes still work
-    if lay.wqkv.scale.dtype == jnp.float32:
-        sb = 4
 
-    # same KV tile size as kernels/decode_step.py: identical online-softmax
-    # tiling keeps the two paths' f32 summation orders aligned, so the
-    # megakernel bit-matches the per-layer path (asserted by the oracle
-    # tests; a larger tile perturbs results by ~1e-8 which can flip an int8
-    # KV round() tie)
-    bkv = largest_divisor_leq(s, min(512, s), min(512, s))
-    if s % bkv:
+    def sbytes(ql):  # per-operand scale/bias plane element bytes
+        return 4 if ql.scale.dtype == jnp.float32 else 2
+
+    sb_q = sbytes(lay.wqkv)
+    sb_o = sbytes(lay.wo)
+    sb_g = sbytes(lay.wgu)
+    sb_d = sbytes(lay.wdown)
+
+    # KV tile: candidates up to 1024 (measured: one 1024-tile beats two
+    # 512-tiles by ~50us/step on the 0.5B bench — one less phase/layer).
+    # Tiles are searched jointly with the weight chunks below; a non-512
+    # tile reorders the online-softmax f32 sums vs decode_step.py by
+    # ~1e-8, which the parity tests' KV-tie tolerance already covers.
+    bkv0 = largest_divisor_leq(s, min(512, s), min(512, s))
+    if s % bkv0:
         return None
-    nkv = s // bkv
+    bkv_opts = [bkv0]
+    if s % 1024 == 0:
+        bkv_opts.insert(0, 1024)
 
     qkv_opts = _divisor_chunks(nq, 128) if nq % 128 == 0 else [nq]
     wo_opts = _divisor_chunks(dq, bs_h)
-    ci_align = max(bs_i, 64)
-    if (2 * ci_align) % 128:
-        ci_align = max(ci_align, 64)
-        while (2 * ci_align) % 128:
-            ci_align += bs_i
-    ci_opts = [x for x in _divisor_chunks(i_dim, ci_align)]
+    # ci must divide i_dim, be a multiple of bs_i (plane4 reshape + sd/bd
+    # block specs), and give a 128-aligned 2*ci gate/up chunk
+    ci_align = bs_i * 64 // math.gcd(bs_i, 64)  # lcm: multiple of 64 => 2*ci%128==0
+    ci_opts = _divisor_chunks(i_dim, ci_align)
     if not (qkv_opts and wo_opts and ci_opts):
         return None
 
     def wbytes(k_dim, n_dim):  # packed weight chunk bytes
         return k_dim * n_dim // pack
 
-    def total(bnq, bkwo, ci):
+    def total(bnq, bkwo, ci, bkv):
         # all double-buffered inputs + scratch (see fused_decode_model)
         w = (
             wbytes(h, bnq)                       # wqkv chunk
-            + (h // bs_h) * bnq * sb * 2         # sq/bq
+            + (h // bs_h) * bnq * sb_q * 2       # sq/bq
             + wbytes(bkwo, h)                    # wo chunk
-            + (bkwo // bs_h) * h * sb * 2
+            + (bkwo // bs_h) * h * sb_o * 2
             + wbytes(h, 2 * ci)                  # wgu chunk
-            + (h // bs_h) * 2 * ci * sb * 2
+            + (h // bs_h) * 2 * ci * sb_g * 2
             + wbytes(ci, h)                      # wdown chunk
-            + (ci // bs_i) * h * sb * 2
+            + (ci // bs_i) * h * sb_d * 2
             + 2 * batch * hkv * bkv * d * (1 if cache.bits == 8 else 2)  # k+v
             + (2 * batch * hkv * bkv * 4 if cache.bits == 8 else 0)     # k/v sc
             + nq * 4 + 2 * h * 4 + 2 * d * 4     # out-bias + norms + qk-norms
@@ -166,50 +181,28 @@ def _plan(c, layers, cache, batch: int) -> Optional[_Plan]:
         outs = b8 * h * 4 + 2 * batch * hkv * 8 * d * 4 + batch * hkv * 8 * 128 * 4
         return 2 * w + scratch + 2 * outs
 
-    # greedy: start from ~2.5MB-targeted chunks, shrink the largest
-    # contributor until the budget holds
-    def first_leq(opts, cap_bytes, per_unit):
-        for o in opts:
-            if o * per_unit <= cap_bytes:
-                return o
-        return opts[-1]
-
-    target = 2_500_000
-    bnq = first_leq(qkv_opts, target, wbytes(h, 1))
-    bkwo = first_leq(wo_opts, target, wbytes(1, h))
-    ci = first_leq(ci_opts, target, wbytes(h, 2) + wbytes(1, h))
-
-    def shrink():
-        nonlocal bnq, bkwo, ci
-        cands = []
-        iq = qkv_opts.index(bnq)
-        if iq + 1 < len(qkv_opts):
-            cands.append(("q", wbytes(h, bnq)))
-        iw = wo_opts.index(bkwo)
-        if iw + 1 < len(wo_opts):
-            cands.append(("w", wbytes(bkwo, h)))
-        im = ci_opts.index(ci)
-        if im + 1 < len(ci_opts):
-            cands.append(("m", ci * (wbytes(h, 2) + wbytes(1, h))))
-        if not cands:
-            return False
-        which = max(cands, key=lambda t: t[1])[0]
-        if which == "q":
-            bnq = qkv_opts[iq + 1]
-        elif which == "w":
-            bkwo = wo_opts[iw + 1]
-        else:
-            ci = ci_opts[im + 1]
-        return True
-
-    while total(bnq, bkwo, ci) > VMEM_BUDGET:
-        if not shrink():
-            return None
+    best = None  # (phases, vmem_total), bnq, bkwo, ci, bkv
+    for bkv in bkv_opts:
+        for bnq in qkv_opts:
+            for bkwo in wo_opts:
+                for ci in ci_opts:
+                    t = total(bnq, bkwo, ci, bkv)
+                    if t > VMEM_BUDGET:
+                        continue
+                    phases = (nq // bnq + s // bkv + dq // bkwo
+                              + i_dim // ci)
+                    # tie-break: fewer phases, then more VMEM headroom
+                    key = (phases, t)
+                    if best is None or key < best[0]:
+                        best = (key, bnq, bkwo, ci, bkv)
+    if best is None:
+        return None
+    _, bnq, bkwo, ci, bkv = best
     return _Plan(
         bnq=bnq, n_qkv=nq // bnq,
         bkwo=bkwo, n_wo=dq // bkwo,
         ci=ci, n_mlp=i_dim // ci,
-        bkv=bkv, nkv=nkv,
+        bkv=bkv, nkv=s // bkv,
     )
 
 

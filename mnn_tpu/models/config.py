@@ -53,6 +53,10 @@ class ModelConfig:
     final_softcap: float = 0.0     # gemma2: tanh softcap on logits
     query_scale: float = 0.0       # 0 = 1/sqrt(head_dim); gemma2 overrides
     swa_every_other: bool = False  # gemma2: even layers use sliding window
+    # gemma3: every swa_pattern-th layer ((i+1) % p == 0) is GLOBAL (full
+    # attention + rope_theta); the rest slide with rope_local_theta
+    swa_pattern: int = 0
+    rope_local_theta: float = 0.0
     # Hadamard-rotate Q/K/V per head dim before the (quantized) KV cache —
     # the WHT half of the reference's TurboQuant TQ3/TQ4
     # (source/backend/cpu/compute/TurboQuant.hpp:5-24). Scores are exactly
@@ -84,13 +88,24 @@ class ModelConfig:
         head_dim = d.get("head_dim") or d["hidden_size"] // d["num_attention_heads"]
         arch = (d.get("architectures") or [""])[0].lower()
         gemma = "gemma" in arch
-        if "gemma3" in arch and d.get("rope_local_base_freq"):
-            # gemma3 needs per-layer dual rope theta + the 5:1 sliding/full
-            # layer pattern + QK-norm; refusing beats silently-wrong numerics
-            # (cf. the GGUF importer's unsupported-rope-scaling errors)
-            raise NotImplementedError(
-                "gemma3 (dual rope theta / 5:1 sliding pattern) is not "
-                "implemented; gemma/gemma2 configs are supported")
+        gemma3 = "gemma3" in arch
+        swa_pattern = 0
+        rope_local_theta = 0.0
+        if gemma3:
+            # dual rope theta + N:1 sliding/full pattern (HF layer_types or
+            # sliding_window_pattern; every p-th layer is full attention)
+            lt = d.get("layer_types")
+            if lt:
+                fulls = [i for i, t in enumerate(lt) if t == "full_attention"]
+                swa_pattern = (fulls[0] + 1) if fulls else len(lt) + 1
+                for j, i in enumerate(fulls):
+                    if (i + 1) % swa_pattern:
+                        raise NotImplementedError(
+                            "irregular gemma3 layer_types (non-periodic "
+                            "full-attention layers)")
+            else:
+                swa_pattern = int(d.get("sliding_window_pattern") or 6)
+            rope_local_theta = float(d.get("rope_local_base_freq", 10000.0))
         return cls(
             name=name,
             vocab_size=d["vocab_size"],
@@ -104,11 +119,11 @@ class ModelConfig:
             rms_norm_eps=d.get("rms_norm_eps", 1e-6),
             tie_word_embeddings=d.get("tie_word_embeddings", gemma),
             attention_bias=d.get("attention_bias", "qwen2" in arch),
-            qk_norm="qwen3" in arch,
+            qk_norm="qwen3" in arch or gemma3,
             max_position_embeddings=d.get("max_position_embeddings", 32768),
             sliding_window=(d.get("sliding_window") or 0)
             if (d.get("use_sliding_window") or "mistral" in arch
-                or "phi3" in arch or "gemma2" in arch) else 0,
+                or "phi3" in arch or "gemma2" in arch or gemma3) else 0,
             mlp_act="gelu_tanh"
             if d.get("hidden_act", d.get("hidden_activation",
                                          "silu")).startswith("gelu")
@@ -120,6 +135,8 @@ class ModelConfig:
             query_scale=(d["query_pre_attn_scalar"] ** -0.5)
             if d.get("query_pre_attn_scalar") else 0.0,
             swa_every_other="gemma2" in arch,
+            swa_pattern=swa_pattern,
+            rope_local_theta=rope_local_theta,
             rope_scaling=_parse_rope_scaling(d.get("rope_scaling")),
             mrope_section=tuple((d.get("rope_scaling") or {}).get(
                 "mrope_section")) if (d.get("rope_scaling") or {}).get(
@@ -175,6 +192,25 @@ PRESETS = {
         head_dim=128, rope_theta=10000.0, tie_word_embeddings=False,
         attention_bias=False, sliding_window=4096,
     ),
+    # driver config 5 (MoE): Qwen1.5-MoE-A2.7B (60 experts top-4 + shared)
+    # and Qwen3-30B-A3B (128 experts top-8, qk-norm) — dims from the public
+    # HF configs
+    "qwen1.5-moe-a2.7b": ModelConfig(
+        name="qwen1.5-moe-a2.7b", vocab_size=151936, hidden_size=2048,
+        intermediate_size=5632, num_layers=24, num_heads=16, num_kv_heads=16,
+        head_dim=128, rope_theta=1000000.0, tie_word_embeddings=False,
+        attention_bias=True, num_experts=60, num_experts_per_tok=4,
+        moe_intermediate_size=1408, shared_expert_intermediate_size=5632,
+        norm_topk_prob=False,
+    ),
+    "qwen3-moe-30b-a3b": ModelConfig(
+        name="qwen3-moe-30b-a3b", vocab_size=151936, hidden_size=2048,
+        intermediate_size=6144, num_layers=48, num_heads=32, num_kv_heads=4,
+        head_dim=128, rope_theta=1000000.0, tie_word_embeddings=False,
+        attention_bias=False, qk_norm=True, num_experts=128,
+        num_experts_per_tok=8, moe_intermediate_size=768,
+        norm_topk_prob=True,
+    ),
     # tiny config for tests (CPU interpret mode friendly)
     "tiny": ModelConfig(
         name="tiny", vocab_size=256, hidden_size=128, intermediate_size=256,
@@ -192,6 +228,8 @@ def _parse_rope_scaling(rs) -> Optional[Tuple[float, float, float, int]]:
     kind = rs.get("rope_type") or rs.get("type")
     if kind in ("default", "mrope"):  # mrope carried via mrope_section
         return None
+    if kind == "linear":  # gemma3 global rope: all freqs / factor
+        return (float(rs["factor"]), 0.0, 0.0, -1)
     if kind != "llama3":
         raise ValueError(f"unsupported rope_scaling type: {kind}")
     return (
@@ -231,10 +269,18 @@ class RuntimeConfig:
     penalty_ngram: int = 8
     seed: int = 0
     max_new_tokens: int = 512
+    # OpenAI-style per-token additive bias {token_id: bias}; stored as a
+    # tuple of (id, bias) pairs so the config stays hashable
+    # (reference llmconfig.hpp:517-520)
+    logit_bias: Optional[tuple] = None
+    # wall-clock generation deadline, seconds; 0 = unlimited (reference
+    # llm.hpp:95-103 TIMEOUT status, generate.cpp:52-56 decode-loop check)
+    timeout_s: float = 0.0
     # speculative decoding (reference: speculative_decoding/generate.hpp)
-    speculative: str = "none"      # none | lookahead | eagle | mtp
+    speculative: str = "none"      # none | lookahead | eagle | eagle-tree | mtp
     draft_len: int = 7
     ngram: int = 3
+    tree_fanout: int = 3           # eagle-tree: K sibling chains (K x depth)
 
     @classmethod
     def from_json(cls, path: str) -> "RuntimeConfig":

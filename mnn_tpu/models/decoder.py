@@ -129,11 +129,52 @@ def _moe_mlp(c: ModelConfig, h2: jax.Array, lp: LayerParams,
     vals, idx = jax.lax.top_k(probs, c.num_experts_per_tok)
     if c.norm_topk_prob:
         vals = vals / jnp.maximum(vals.sum(-1, keepdims=True), 1e-9)
+
+    e_local = lp.wgu_e.packed.shape[0]
+
+    # DECODE path (few tokens, unsharded experts): gather ONLY the routed
+    # experts' weights. The expert axis rides dequant_matmul's stacked
+    # `layer_index` BlockSpec offset, so each of the n*k expert MLPs
+    # streams exactly one expert's int4 tiles from HBM — k/E of the
+    # dense-dispatch traffic, which is what makes batch-1 MoE decode
+    # HBM-proportional to ACTIVE params (the reference's sequential
+    # decode routing, MoEModule.cpp:49-61, reached the same way).
+    if n <= 8 and tp_axis is None and e_local == c.num_experts:
+        k_exp = c.num_experts_per_tok
+        flat_e = idx.reshape(-1).astype(jnp.int32)        # [n*k]
+        flat_t = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k_exp)
+        flat_w = vals.reshape(-1)
+
+        def pair_body(acc, pair):
+            ei, ti, wv = pair
+            xt = jax.lax.dynamic_slice_in_dim(x, ti, 1, axis=0)   # [1, H]
+            gu = dequant_matmul(xt, lp.wgu_e, layer_index=ei,
+                                interpret=interpret)
+            actv = swiglu(*split_gate_up(gu))
+            out = dequant_matmul(actv, lp.wdown_e, layer_index=ei,
+                                 interpret=interpret, out_dtype=jnp.float32)
+            row = jax.lax.dynamic_slice_in_dim(acc, ti, 1, axis=0)
+            return jax.lax.dynamic_update_slice_in_dim(
+                acc, row + out * wv, ti, axis=0), None
+
+        y, _ = jax.lax.scan(
+            pair_body, jnp.zeros_like(x, dtype=jnp.float32),
+            (flat_e, flat_t, flat_w))
+        if lp.wgu_shared is not None:
+            gu = dequant_matmul(x, lp.wgu_shared, interpret=interpret)
+            actv = swiglu(*split_gate_up(gu))
+            out = dequant_matmul(actv, lp.wdown_shared, interpret=interpret,
+                                 out_dtype=jnp.float32)
+            if lp.shared_gate is not None:
+                gate = jax.nn.sigmoid(
+                    jnp.dot(x.astype(jnp.float32), lp.shared_gate)[:, None])
+                out = out * gate
+            y = y + out
+        return y.reshape(b, t, hidden)
+
     weights = jnp.zeros((n, c.num_experts), jnp.float32).at[
         jnp.arange(n)[:, None], idx
     ].set(vals)
-
-    e_local = lp.wgu_e.packed.shape[0]
     if tp_axis is not None and e_local != c.num_experts:
         e0 = jax.lax.axis_index(tp_axis) * e_local
         w_local = jax.lax.dynamic_slice(weights, (0, e0), (n, e_local))
@@ -186,7 +227,7 @@ def _gated_act(c: ModelConfig, gu: jax.Array) -> jax.Array:
 
 
 def _attention_xla(c: ModelConfig, q, k_cache, v_cache, k_scale, v_scale,
-                   kv_len, lengths, window, bits):
+                   kv_len, lengths, window, bits, tree=None):
     """Dense masked attention in plain XLA — the path for configs the
     Pallas kernels don't cover (gemma2 score softcapping, per-layer
     alternating windows). `window` may be traced (scan-carried layer
@@ -207,17 +248,31 @@ def _attention_xla(c: ModelConfig, q, k_cache, v_cache, k_scale, v_scale,
                    kf.astype(jnp.float32)) * scale
     if c.attn_softcap:
         s = jnp.tanh(s / c.attn_softcap) * c.attn_softcap
-    pos_q = lengths[:, None] + jnp.arange(t)[None]      # [b, t]
     pos_k = jnp.arange(cap)                             # [cap]
-    causal = (pos_k[None, None] <= pos_q[..., None]) \
-        & (pos_k[None, None] < kv_len[:, None, None])   # [b, t, cap]
-    win_lo = pos_q[..., None] - window                  # traced ok
-    win_ok = (window <= 0) | (pos_k[None, None] > win_lo)
-    if c.attention_sink:
-        # sink widens the WINDOW only — it must never unmask future or
-        # unwritten positions (matches the Pallas kernels' composition)
-        win_ok |= pos_k[None, None] < c.attention_sink
-    ok = causal & win_ok
+    if tree is not None:
+        # token-tree visibility: the t new rows sit at cache offsets
+        # start..start+t-1 (append order), but their LOGICAL positions are
+        # depths — position-causality cannot separate sibling branches, so
+        # node-to-node visibility comes from the explicit ancestor mask.
+        depths, tmask = tree
+        start = lengths[0]          # tree verify is uniform-start (batch 1)
+        rel = pos_k - start                                  # [cap]
+        in_new = (rel >= 0) & (rel < t)
+        node_vis = tmask[:, jnp.clip(rel, 0, t - 1)]         # [t, cap]
+        prefix_vis = jnp.broadcast_to(pos_k[None] < start, (t, cap))
+        ok = jnp.where(in_new[None], node_vis, prefix_vis)[None] \
+            & (pos_k[None, None] < kv_len[:, None, None])
+    else:
+        pos_q = lengths[:, None] + jnp.arange(t)[None]      # [b, t]
+        causal = (pos_k[None, None] <= pos_q[..., None]) \
+            & (pos_k[None, None] < kv_len[:, None, None])   # [b, t, cap]
+        win_lo = pos_q[..., None] - window                  # traced ok
+        win_ok = (window <= 0) | (pos_k[None, None] > win_lo)
+        if c.attention_sink:
+            # sink widens the WINDOW only — it must never unmask future or
+            # unwritten positions (matches the Pallas kernels' composition)
+            win_ok |= pos_k[None, None] < c.attention_sink
+        ok = causal & win_ok
     s = jnp.where(ok[:, None, None], s, -jnp.inf)
     a = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bkgts,bksd->bkgtd", a, vf.astype(jnp.float32))
@@ -441,11 +496,24 @@ def _forward_unrolled(
     # whole-model megakernel: all layers in ONE pallas_call (see
     # kernels/decode_model.py). Strictly better than the per-layer fused
     # path when eligible — falls through otherwise.
+    if megakernel is True and not (
+            t == 1 and use_pallas(interpret)
+            and lora is None and tp_axis is None):
+        raise ValueError(
+            "megakernel=True requires t==1, a Pallas backend, no LoRA and "
+            "no tp_axis")
     if (megakernel is not False and t == 1 and use_pallas(interpret)
             and lora is None and tp_axis is None):
         from mnn_tpu.kernels import decode_model
 
-        if decode_model.supports(c, params, cache, b):
+        eligible = decode_model.supports(c, params, cache, b)
+        if megakernel is True and not eligible:
+            # explicit request must not silently measure the per-layer path
+            raise ValueError(
+                "megakernel=True but decode_model.supports() rejects this "
+                f"(config={c.name}, batch={b}, kv_bits={cache.bits}); use "
+                "megakernel=None for auto-fallback")
+        if eligible:
             cos_f = jnp.concatenate([cos[:, 0], cos[:, 0]], axis=-1)
             sin_f = jnp.concatenate([sin[:, 0], sin[:, 0]], axis=-1)
             xh, k_rows, v_rows, k_sc, v_sc = decode_model.fused_decode_model(
@@ -572,6 +640,8 @@ def forward(
     return_hidden: bool = False,  # pipeline stages: skip the head
     layer_scan: Optional[bool] = None,  # None = auto (scan only for MoE)
     megakernel: Optional[bool] = None,  # None = auto; False = force per-layer
+    tree: Optional[tuple] = None,  # (depths [T] i32, mask [T, T] bool):
+                                   # token-tree verify (EAGLE); see below
 ) -> Tuple[jax.Array, KVCache]:
     """Run the model over `tokens`, appending T positions to the cache.
 
@@ -599,9 +669,12 @@ def forward(
     # score softcaps, and sandwich norms aren't wired into the unrolled
     # in-place kernels (yet) — the scan body below handles every config
     gemma_like = (c.sandwich_norm or c.mlp_act != "silu"
-                  or c.attn_softcap > 0 or c.swa_every_other)
+                  or c.attn_softcap > 0 or c.swa_every_other
+                  or c.swa_pattern > 0)
     if layer_scan is None:
-        layer_scan = c.is_moe or gemma_like
+        layer_scan = c.is_moe or gemma_like or tree is not None
+    if tree is not None and not layer_scan:
+        raise ValueError("tree verify requires the layer-scan path")
     if inputs_embeds is not None:
         x = inputs_embeds.astype(params.embedding.dtype)
     else:
@@ -609,7 +682,16 @@ def forward(
     if c.embed_scale:  # gemma: normalizer cast to activation dtype (HF)
         x = x * jnp.asarray(c.hidden_size ** 0.5, x.dtype)
     start = cache.length[0]       # uniform write offset (prefill)
-    positions = cache.length[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
+    if tree is not None:
+        # token-tree verify (EAGLE): rope positions come from each node's
+        # DEPTH in the tree, not its append offset; attention visibility is
+        # the ancestor mask (reference tokentree.hpp retrieve/verify).
+        if c.sliding_window or c.swa_every_other or c.attention_sink:
+            raise NotImplementedError(
+                "tree verify not supported with windowed attention")
+        positions = cache.length[:, None] + tree[0][None]
+    else:
+        positions = cache.length[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
     if position_ids is not None and c.mrope_section is not None:
         cos, sin = rope_cos_sin_mrope(position_ids, c.head_dim, c.rope_theta,
                                       c.mrope_section)
@@ -618,9 +700,20 @@ def forward(
                                 scaling=c.rope_scaling)
     kv_len = jnp.minimum(cache.length + t, cache.capacity)
 
+    # gemma3 dual rope: local (sliding) layers rotate with
+    # rope_local_theta and no long-context scaling; global layers with
+    # rope_theta (+ linear scaling) — selected per layer in layer_step
+    if c.swa_pattern:
+        cos_l, sin_l = rope_cos_sin(positions, c.head_dim,
+                                    c.rope_local_theta)
+    else:
+        cos_l = sin_l = None
+
     q_dim, kv_dim = c.q_dim, c.kv_dim
 
-    def qkv_split(qkv, q_norm, k_norm):
+    def qkv_split(qkv, q_norm, k_norm, cos_in=None, sin_in=None):
+        cos_i = cos_in if cos_in is not None else cos
+        sin_i = sin_in if sin_in is not None else sin
         g = c.num_heads // c.num_kv_heads
         qkv = qkv.reshape(b, t, c.num_kv_heads, g + 2, c.head_dim)
         q = qkv[..., :g, :].reshape(b, t, c.num_heads, c.head_dim)
@@ -630,8 +723,8 @@ def forward(
         if c.qk_norm:
             q = rms_norm(q, q_norm, c.rms_norm_eps)
             k = rms_norm(k, k_norm, c.rms_norm_eps)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        q = apply_rope(q, cos_i, sin_i)
+        k = apply_rope(k, cos_i, sin_i)
         if c.kv_rotate:
             # TurboQuant-style WHT: scores invariant, outliers flattened
             q, k, v = rotate_heads(q), rotate_heads(k), rotate_heads(v)
@@ -647,7 +740,13 @@ def forward(
         qkv = dequant_matmul(h, lp.wqkv, interpret=interpret)
         if lo is not None:
             qkv = _add_lora(qkv, h, lo.a_qkv, lo.b_qkv, lo.scaling)
-        q, k, v = qkv_split(qkv, lp.q_norm, lp.k_norm)
+        if c.swa_pattern:
+            is_global = (li + 1) % c.swa_pattern == 0
+            q, k, v = qkv_split(qkv, lp.q_norm, lp.k_norm,
+                                jnp.where(is_global, cos, cos_l),
+                                jnp.where(is_global, sin, sin_l))
+        else:
+            q, k, v = qkv_split(qkv, lp.q_norm, lp.k_norm)
 
         if t == 1:
             # decode: each slot writes at its own offset (continuous batching)
@@ -658,11 +757,18 @@ def forward(
             k_c, v_c, ks_c, vs_c = kvcache.append_layer(
                 k_c, v_c, ks_c, vs_c, k, v, start, bits=cache.bits
             )
-        if gemma_like:
-            # per-layer window: gemma2 slides on even layers only
+        if tree is not None:
+            att = _attention_xla(c, q, k_c, v_c, ks_c, vs_c, kv_len,
+                                 cache.length, 0, cache.bits, tree=tree)
+        elif gemma_like:
+            # per-layer window: gemma2 slides on even layers only; gemma3
+            # slides everywhere except every swa_pattern-th (global) layer
             window = c.sliding_window
             if c.swa_every_other:
                 window = jnp.where(li % 2 == 0, c.sliding_window, 0)
+            if c.swa_pattern:
+                window = jnp.where((li + 1) % c.swa_pattern == 0, 0,
+                                   c.sliding_window)
             att = _attention_xla(c, q, k_c, v_c, ks_c, vs_c, kv_len,
                                  cache.length, window, cache.bits)
         else:

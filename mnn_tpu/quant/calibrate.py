@@ -162,16 +162,21 @@ def admm_quantize_weight(
         return jnp.where(den > 1e-9, num / den, scale)
 
     scale = jax.lax.fori_loop(0, iters, body, scale)
+    # round the solved scale to the bf16 storage grid FIRST, then quantize
+    # against the rounded value, so q is optimal for exactly the (scale,
+    # bias) the kernels read back (checkpoint format: bf16 planes,
+    # quant/quantize.py module docstring)
+    scale = scale.astype(jnp.bfloat16).astype(jnp.float32)
     q = jnp.clip(jnp.round(blocks / scale[:, None, :]), -qlim, qlim)
     qu = (q + center).astype(jnp.int32).reshape(k, n)  # unsigned storage
-    bias = -float(center) * scale
+    bias = -float(center) * scale  # exact in bf16 (power-of-2 multiple)
     if bits == 4:
         packed = pack_int4(qu, block_size)
     else:
         packed = jax.lax.bitcast_convert_type(qu.astype(jnp.uint8), jnp.int8)
     ob = None if out_bias is None else jnp.asarray(out_bias, jnp.float32)
     return QuantizedLinear(
-        packed=packed, scale=scale.astype(jnp.float32),
-        bias=bias.astype(jnp.float32), out_bias=ob, bits=bits,
+        packed=packed, scale=scale.astype(jnp.bfloat16),
+        bias=bias.astype(jnp.bfloat16), out_bias=ob, bits=bits,
         block_size=block_size, act_bits=act_bits,
     )

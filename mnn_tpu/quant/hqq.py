@@ -81,9 +81,14 @@ def quantize_hqq(
 
     zero, _ = jax.lax.fori_loop(0, iters, body, (zero, beta))
 
-    q = jnp.clip(jnp.round(blocks / scale[:, None, :] + zero[:, None, :]),
+    # round the optimized (scale, bias) to the bf16 storage grid, then
+    # quantize against the ROUNDED values so q is optimal for exactly the
+    # planes the kernels read back (bf16 checkpoint format,
+    # quant/quantize.py module docstring)
+    scale = scale.astype(jnp.bfloat16).astype(jnp.float32)
+    bias = (-zero * scale).astype(jnp.bfloat16).astype(jnp.float32)
+    q = jnp.clip(jnp.round((blocks - bias[:, None, :]) / scale[:, None, :]),
                  0, qmax).reshape(k, n)
-    bias = -zero * scale  # w = q*scale + bias
     if bits == 4:
         packed = pack_int4(q.astype(jnp.int32), block_size)
     else:
@@ -92,7 +97,7 @@ def quantize_hqq(
             q.astype(jnp.int32).astype(jnp.uint8), jnp.int8)
     ob = None if out_bias is None else jnp.asarray(out_bias, jnp.float32)
     return QuantizedLinear(
-        packed=packed, scale=scale.astype(jnp.float32),
-        bias=bias.astype(jnp.float32), out_bias=ob, bits=bits,
+        packed=packed, scale=scale.astype(jnp.bfloat16),
+        bias=bias.astype(jnp.bfloat16), out_bias=ob, bits=bits,
         block_size=block_size, act_bits=act_bits,
     )

@@ -217,9 +217,17 @@ def dequantize(ql: QuantizedLinear, dtype=jnp.float32) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("dtype",))
 def matmul_dequant_ref(x: jax.Array, ql: QuantizedLinear, dtype=jnp.bfloat16) -> jax.Array:
-    """Pure-XLA reference path: dequantize then matmul (used on CPU / in tests)."""
-    w = dequantize(ql, dtype=dtype)
-    y = jnp.dot(x.astype(dtype), w, preferred_element_type=jnp.float32)
+    """Pure-XLA reference path: dequantize then matmul (used on CPU / in tests).
+
+    Always computes in bf16 inputs + f32 accumulation — identical to the
+    Pallas kernels — and casts only the OUTPUT to `dtype`. (Dequantizing in
+    `dtype` made a dtype=f32 call use unrounded f32 weights, a systematic
+    ~bf16-ulp weight difference vs the bf16 path: the TP K-sharded partial
+    sums request f32 outputs, which silently changed the numerics vs the
+    single-device bf16 path and broke expert-routing parity.)
+    """
+    w = dequantize(ql, dtype=jnp.bfloat16)
+    y = jnp.dot(x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
     if ql.out_bias is not None:
         y = y + ql.out_bias
     return y.astype(dtype)

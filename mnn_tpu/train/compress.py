@@ -39,14 +39,26 @@ def _ste_round_bwd(_, g):
 _ste_round.defvjp(_ste_round_fwd, _ste_round_bwd)
 
 
+def _ste_to_bf16_grid(x: jax.Array, round_fn) -> jax.Array:
+    """Snap x onto the bf16 storage grid (via quantize.py's covering
+    rounding helpers) with a straight-through gradient: the bitcast-based
+    rounders are non-differentiable, so the snap is applied as a
+    stop-gradient delta."""
+    return x + jax.lax.stop_gradient(round_fn(x) - x)
+
+
 def fake_quant_weight(w: jax.Array, bits: int = 4, block_size: int = 128,
                       sym: bool = False) -> jax.Array:
     """Per-block asym/sym fake quantization of [K, N] weights, matching the
     inference quantizer's grid (quant/quantize.py) so QAT-trained weights
-    land exactly on the deployed grid. Gradients flow straight through the
+    land exactly on the deployed grid — INCLUDING the bf16 rounding of the
+    stored scale/bias planes (scale covered toward +inf, wmin toward -inf),
+    so there is zero train/deploy gap. Gradients flow straight through the
     rounding; scale/zero are recomputed from the live weights each step
     (LSQ-free min/max calibration, the reference mnncompress default).
     """
+    from mnn_tpu.quant.quantize import _bf16_round_down, _bf16_round_up
+
     k, n = w.shape
     nb = k // block_size
     wb = w.reshape(nb, block_size, n)
@@ -55,12 +67,15 @@ def fake_quant_weight(w: jax.Array, bits: int = 4, block_size: int = 128,
     if sym:
         amax = jnp.max(jnp.abs(wb), axis=1, keepdims=True)
         scale = jnp.where(amax == 0, 1.0, amax / (center - 1))
+        scale = _ste_to_bf16_grid(scale, _bf16_round_up)
         q = jnp.clip(_ste_round(wb / scale) + center, 1, qmax)
         return ((q - center) * scale).reshape(k, n)
     lo = jnp.min(wb, axis=1, keepdims=True)
+    lo = _ste_to_bf16_grid(lo, _bf16_round_down)
     hi = jnp.max(wb, axis=1, keepdims=True)
     scale = (hi - lo) / qmax
     scale = jnp.where(scale == 0, 1.0, scale)
+    scale = _ste_to_bf16_grid(scale, _bf16_round_up)
     q = jnp.clip(_ste_round((wb - lo) / scale), 0, qmax)
     return (q * scale + lo).reshape(k, n)
 
