@@ -58,8 +58,16 @@ def make_ring_attention(
     axis: str = "sp",
     causal: bool = True,
     sm_scale: Optional[float] = None,
+    head_axis: Optional[str] = None,
 ):
-    """Build a jitted ring attention: q,k,v [B,H,T,D] sequence-sharded on T."""
+    """Build a jitted ring attention: q,k,v [B,H,T,D] sequence-sharded on T.
+
+    head_axis: optionally ALSO shard the head dim over a second mesh axis —
+    the TP x SP composition (Megatron-cut heads x ring sequence). Heads are
+    independent in attention, so the ring math is unchanged; each (tp, sp)
+    device holds its head-shard of its sequence-chunk and the KV rotation
+    stays within its sp ring column.
+    """
     from jax import shard_map
 
     size = mesh.shape[axis]
@@ -99,12 +107,13 @@ def make_ring_attention(
         l = jnp.where(l == 0.0, 1.0, l)
         return (acc / l[..., None]).astype(q.dtype)
 
-    spec = P(None, None, axis, None)
+    spec = P(None, head_axis, axis, None)
     fn = shard_map(
         local_fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
     )
     return jax.jit(fn)
 
 
-def shard_seq(x, mesh: Mesh, axis: str = "sp"):
-    return jax.device_put(x, NamedSharding(mesh, P(None, None, axis, None)))
+def shard_seq(x, mesh: Mesh, axis: str = "sp", head_axis: Optional[str] = None):
+    return jax.device_put(
+        x, NamedSharding(mesh, P(None, head_axis, axis, None)))

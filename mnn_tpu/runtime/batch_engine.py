@@ -48,6 +48,7 @@ class Status(Enum):
     DECODE = "decode"
     DONE = "done"
     CANCELLED = "cancelled"
+    TIMEOUT = "timeout"   # deadline expired (reference llm.hpp:95-103)
 
 
 @dataclasses.dataclass
@@ -64,6 +65,10 @@ class Request:
     submitted_at: float = dataclasses.field(default_factory=time.perf_counter)
     first_token_at: Optional[float] = None
     finished_at: Optional[float] = None
+    # absolute wall-clock deadline (perf_counter timebase); None = unlimited
+    deadline: Optional[float] = None
+    # per-request (token_id, bias) pairs (OpenAI logit_bias semantics)
+    logit_bias: Optional[tuple] = None
 
 
 @functools.partial(
@@ -138,6 +143,7 @@ def _decode_block(
     top_p: float,
     min_p: float,
     penalty: float,
+    logit_bias=None,   # [V] additive bias (traced) or None
 ):
     """Forward+sample `steps` times for the whole batch in one dispatch.
 
@@ -154,6 +160,7 @@ def _decode_block(
         nxt, st = sampler.sample(
             logits, sub, st, sampler=sampler_name, temperature=temperature,
             top_k=top_k, top_p=top_p, min_p=min_p, penalty=penalty,
+            logit_bias=logit_bias,
         )
         return (cache, nxt, st, key), nxt
 
@@ -211,6 +218,28 @@ class BatchEngine:
                 else a, params)
         self.key = jax.random.PRNGKey(rt.seed)
         self.last_tokens = jnp.zeros((b,), jnp.int32)
+        # dense [V] additive logit bias from rt.logit_bias (id, bias) pairs
+        if rt.logit_bias:
+            lb = np.zeros((config.vocab_size,), np.float32)
+            for tid, bias in rt.logit_bias:
+                if 0 <= int(tid) < lb.shape[0]:
+                    lb[int(tid)] = float(bias)
+            self._logit_bias = jnp.asarray(lb)
+        else:
+            self._logit_bias = None
+        # lazily-materialized [B, V] per-slot bias (global + per-request)
+        self._bias_rows = None
+        # cross-host batch placement: this process only admits requests into
+        # the batch rows whose dp shards live on its own devices, so
+        # prefill/decode never pull KV over DCN (multihost.local_batch_rows;
+        # single-process/meshless: every row is local)
+        if mesh is not None and jax.process_count() > 1:
+            from mnn_tpu.parallel.multihost import local_batch_rows
+
+            self.local_rows = set(
+                int(r) for r in local_batch_rows(mesh, b, dp_axis))
+        else:
+            self.local_rows = set(range(b))
         self.slots: List[Optional[Request]] = [None] * b
         self.waiting: "queue.SimpleQueue[Request]" = queue.SimpleQueue()
         self.requests: Dict[int, Request] = {}
@@ -240,11 +269,20 @@ class BatchEngine:
 
     # -- submission --------------------------------------------------------
 
-    def submit(self, token_ids: List[int], max_new_tokens: Optional[int] = None) -> Request:
+    def submit(self, token_ids: List[int], max_new_tokens: Optional[int] = None,
+               timeout_s: Optional[float] = None,
+               logit_bias=None) -> Request:
+        """timeout_s (default rt.timeout_s, 0 = unlimited): wall-clock
+        deadline; expired requests finish with Status.TIMEOUT between
+        decode blocks (the reference's decode-loop timeout check,
+        generate.cpp:52-56)."""
+        t = timeout_s if timeout_s is not None else self.rt.timeout_s
         req = Request(
             rid=next(self._rid),
             token_ids=list(token_ids) or [0],
             max_new_tokens=max_new_tokens or self.rt.max_new_tokens,
+            deadline=(time.perf_counter() + t) if t else None,
+            logit_bias=tuple(logit_bias) if logit_bias else None,
         )
         with self._lock:
             self.requests[req.rid] = req
@@ -259,8 +297,27 @@ class BatchEngine:
 
     # -- scheduling --------------------------------------------------------
 
+    def _set_bias_row(self, slot: int, pairs: Optional[tuple]):
+        """Write slot `slot`'s [V] bias row = global rt bias + request
+        pairs (None = reset to global). Materializes the [B, V] rows on
+        first use — meshless/global-only serving never pays for it."""
+        v = self.config.vocab_size
+        if self._bias_rows is None:
+            base = (np.asarray(self._logit_bias) if self._logit_bias
+                    is not None else np.zeros((v,), np.float32))
+            self._bias_rows = jnp.broadcast_to(
+                jnp.asarray(base), (self.rt.max_batch, v)).copy()
+        row = (np.asarray(self._logit_bias, np.float32).copy()
+               if self._logit_bias is not None
+               else np.zeros((v,), np.float32))
+        for tid, bias in (pairs or ()):
+            if 0 <= int(tid) < v:
+                row[int(tid)] += float(bias)
+        self._bias_rows = self._bias_rows.at[slot].set(jnp.asarray(row))
+
     def _free_slots(self) -> List[int]:
-        return [i for i, r in enumerate(self.slots) if r is None]
+        return [i for i, r in enumerate(self.slots)
+                if r is None and i in self.local_rows]
 
     def _admit_one(self) -> bool:
         free = self._free_slots()
@@ -281,6 +338,8 @@ class BatchEngine:
         self.state = dataclasses.replace(
             self.state, recent=self.state.recent.at[slot].set(-1)
         )
+        if req.logit_bias or self._bias_rows is not None:
+            self._set_bias_row(slot, req.logit_bias)
         # truncate over-long prompts to leave decode room
         limit = self.rt.max_seq_len - req.max_new_tokens - 1
         ids = req.token_ids[-max(limit, 1):]
@@ -309,10 +368,15 @@ class BatchEngine:
         self.key, sub = jax.random.split(self.key)
         row_state = SamplerState(recent=self.state.recent[slot: slot + 1],
                                  pos=self.state.pos)
+        if self._bias_rows is not None:
+            row_bias = self._bias_rows[slot]
+        else:
+            row_bias = self._logit_bias
         tok1, row2 = sampler.sample(
             logits, sub, row_state, sampler=self.rt.sampler,
             temperature=self.rt.temperature, top_k=self.rt.top_k,
-            top_p=self.rt.top_p, min_p=self.rt.min_p, penalty=self.rt.penalty)
+            top_p=self.rt.top_p, min_p=self.rt.min_p, penalty=self.rt.penalty,
+            logit_bias=row_bias)
         first = int(np.asarray(tok1[0]))
         w = self.state.recent.shape[1]
         prev_pos = (int(np.asarray(self.state.pos)) - 1) % w
@@ -329,6 +393,8 @@ class BatchEngine:
 
     def _free_slot(self, req: Request):
         if req.slot >= 0:
+            if self._bias_rows is not None and req.logit_bias:
+                self._set_bias_row(req.slot, None)
             self.slots[req.slot] = None
             req.slot = -1
 
@@ -359,9 +425,20 @@ class BatchEngine:
 
     def _step_locked(self) -> bool:
         admitted = False
-        # reap cancellations so their slots free up
+        # expire deadlines (checked once per block, like the reference's
+        # per-iteration timeout in the decode loop)
+        now = time.perf_counter()
         for req in list(self.slots):
-            if req is not None and req.status == Status.CANCELLED:
+            if (req is not None and req.deadline is not None
+                    and now > req.deadline
+                    and req.status in (Status.PREFILL, Status.DECODE)):
+                req.status = Status.TIMEOUT
+                req.finished_at = now
+                req.out.put(None)
+        # reap cancellations/timeouts so their slots free up
+        for req in list(self.slots):
+            if req is not None and req.status in (Status.CANCELLED,
+                                                  Status.TIMEOUT):
                 self._free_slot(req)
         if self.prefill_priority:
             while self._admit_one():
@@ -383,6 +460,8 @@ class BatchEngine:
             steps=steps, sampler_name=self.rt.sampler,
             temperature=self.rt.temperature, top_k=self.rt.top_k,
             top_p=self.rt.top_p, min_p=self.rt.min_p, penalty=self.rt.penalty,
+            logit_bias=(self._bias_rows if self._bias_rows is not None
+                        else self._logit_bias),
         )
         toks_np = np.asarray(toks)
         self.last_tokens = toks[:, -1]
