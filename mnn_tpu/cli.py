@@ -136,6 +136,26 @@ def cmd_convert(args):
     kw = dict(bits=args.bits, block_size=args.block, sym=args.sym,
               tp_shards=args.tp, act_bits=args.act_bits,
               lm_head_bits=args.lm_head_bits)
+    if args.awq:
+        import numpy as np
+
+        if args.calib_data:
+            # text file, one calibration sample per line, tokenized with
+            # the source model's tokenizer
+            from mnn_tpu.runtime.tokenizer import load_tokenizer
+
+            tok = load_tokenizer(args.hf)
+            lines = [ln.strip() for ln in open(args.calib_data)
+                     if ln.strip()][:16]
+            ids = [tok.encode(ln)[:256] for ln in lines]
+            t = max(len(i) for i in ids)
+            calib = np.zeros((len(ids), t), np.int32)
+            for r, i in enumerate(ids):
+                calib[r, :len(i)] = i
+        else:
+            rng = np.random.default_rng(0)
+            calib = rng.integers(0, 1000, (4, 128)).astype(np.int32)
+        kw.update(awq=True, calib_tokens=calib)
     if args.gguf:
         from mnn_tpu.convert.gguf import convert_gguf
 
@@ -299,6 +319,12 @@ def main(argv=None):
                    help="quantize the output projection (0 = keep bf16)")
     p.add_argument("--tp", type=int, default=1,
                    help="target tensor-parallel shards (affects block sizes)")
+    p.add_argument("--awq", action="store_true",
+                   help="activation-aware scale search + clipping "
+                        "(quant/awq_search.py)")
+    p.add_argument("--calib-data",
+                   help="calibration text file for --awq (one sample/line; "
+                        "random tokens when omitted)")
     p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("bench-cnn", help="vision model latency (bf16)")

@@ -52,6 +52,117 @@ def _f32(x: np.ndarray) -> np.ndarray:
     return np.asarray(x, np.float32)
 
 
+def _awq_transform(
+    c: ModelConfig,
+    calib_tokens: np.ndarray,      # [B, T] int32
+    emb_w: np.ndarray,             # [V, H]
+    wqkv_mats, wqkv_biases, wo_mats, wgu_mats, wdown_mats,
+    in_norms, post_norms, q_norms, k_norms,
+    *,
+    bits: int, block_size: int, sym: bool, clip: bool,
+    max_rows: int = 512,
+) -> None:
+    """In-place AWQ pass over the collected float layer mats.
+
+    One sequential float forward over the calibration tokens; at each layer
+    the four linear inputs are captured (subsampled to `max_rows` rows),
+    quant/awq_search.awq_scale_block searches the scales + clips, and the
+    layer's mats/norms are replaced. The folds are float-exact, so the
+    forward continues with the ORIGINAL weights and still produces the
+    activations the transformed model would see. Capability parity:
+    reference utils/awq_quantizer.py:202,470 (independent implementation).
+    """
+    from mnn_tpu.models.layers import (apply_rope, gu_block_for, rms_norm,
+                                       rope_cos_sin, split_gate_up, swiglu)
+    from mnn_tpu.quant.awq_search import awq_scale_block
+
+    g = c.num_heads // c.num_kv_heads
+    d = c.head_dim
+    hkv = c.num_kv_heads
+    b, t = calib_tokens.shape
+    scale_att = 1.0 / (d ** 0.5)
+
+    # fused-layout index maps (see the layer loop below for the layout)
+    stride = (g + 2) * d
+    v_cols = np.concatenate(
+        [np.arange(h * stride + (g + 1) * d, h * stride + (g + 2) * d)
+         for h in range(hkv)])
+    blk = gu_block_for(c.intermediate_size)
+    up_cols = np.concatenate(
+        [np.arange(2 * i * blk + blk, 2 * i * blk + 2 * blk)
+         for i in range(c.intermediate_size // blk)])
+    # att channel (head i, dim k) reads V column (kv-head i//g, dim k)
+    o_groups = np.concatenate(
+        [np.arange(d) + (i // g) * d for i in range(c.num_heads)])
+
+    rng = np.random.default_rng(0)
+
+    def sample_rows(a2d):
+        n = a2d.shape[0]
+        if n <= max_rows:
+            return np.asarray(a2d, np.float32)
+        idx = rng.choice(n, size=max_rows, replace=False)
+        return np.asarray(a2d[idx], np.float32)
+
+    x = jnp.asarray(emb_w, jnp.float32)[calib_tokens]   # [B, T, H]
+    positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+    cos, sin = rope_cos_sin(positions, d, c.rope_theta, scaling=c.rope_scaling)
+    causal = jnp.tril(jnp.ones((t, t), bool))
+
+    for i in range(len(wqkv_mats)):
+        h = rms_norm(x, jnp.asarray(in_norms[i]), c.rms_norm_eps)
+        qkv = h @ jnp.asarray(wqkv_mats[i])
+        if wqkv_biases[i] is not None:
+            qkv = qkv + jnp.asarray(wqkv_biases[i])
+        qkv5 = qkv.reshape(b, t, hkv, g + 2, d)
+        q = qkv5[..., :g, :].reshape(b, t, c.num_heads, d).transpose(0, 2, 1, 3)
+        k = qkv5[..., g, :].transpose(0, 2, 1, 3)
+        v = qkv5[..., g + 1, :].transpose(0, 2, 1, 3)
+        if q_norms is not None:
+            q = rms_norm(q, jnp.asarray(q_norms[i]), c.rms_norm_eps)
+            k = rms_norm(k, jnp.asarray(k_norms[i]), c.rms_norm_eps)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kr = jnp.repeat(k, g, axis=1)
+        vr = jnp.repeat(v, g, axis=1)
+        s = jnp.einsum("bhtd,bhsd->bhts", q, kr) * scale_att
+        s = jnp.where(causal[None, None], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        att = jnp.einsum("bhts,bhsd->bhtd", p, vr)
+        att = att.transpose(0, 2, 1, 3).reshape(b, t, c.q_dim)
+        o = att @ jnp.asarray(wo_mats[i])
+        x = x + o
+        h2 = rms_norm(x, jnp.asarray(post_norms[i]), c.rms_norm_eps)
+        gu = h2 @ jnp.asarray(wgu_mats[i])
+        gate, up = split_gate_up(gu)
+        act = swiglu(gate, up)
+        dn = act @ jnp.asarray(wdown_mats[i])
+        x = x + dn
+
+        acts = {
+            "qkv": sample_rows(np.asarray(h).reshape(-1, c.hidden_size)),
+            "o": sample_rows(np.asarray(att).reshape(-1, c.q_dim)),
+            "gu": sample_rows(np.asarray(h2).reshape(-1, c.hidden_size)),
+            "down": sample_rows(
+                np.asarray(act).reshape(-1, c.intermediate_size)),
+        }
+        res = awq_scale_block(
+            acts, wqkv_mats[i], wo_mats[i], wgu_mats[i], wdown_mats[i],
+            in_norms[i], post_norms[i],
+            v_cols=v_cols, up_cols=up_cols,
+            qkv_bias=wqkv_biases[i], o_groups=o_groups,
+            bits=bits, block_size=block_size, sym=sym, clip=clip,
+        )
+        wqkv_mats[i] = res.wqkv
+        wo_mats[i] = res.wo
+        wgu_mats[i] = res.wgu
+        wdown_mats[i] = res.wdown
+        in_norms[i] = res.input_norm
+        post_norms[i] = res.post_norm
+        if res.qkv_bias is not None:
+            wqkv_biases[i] = res.qkv_bias
+
+
 def convert_hf(
     model_dir: Optional[str],
     out_dir: str,
@@ -65,10 +176,18 @@ def convert_hf(
     rt: Optional[RuntimeConfig] = None,
     hf_config: Optional[dict] = None,
     tensors: Optional[Dict[str, np.ndarray]] = None,
+    awq: bool = False,
+    awq_clip: bool = True,
+    calib_tokens: Optional[np.ndarray] = None,   # [B, T] int32
 ) -> None:
     """Convert + quantize an HF decoder checkpoint (qwen2/qwen3/llama/
     mistral/phi3/gemma2 ...). `hf_config`/`tensors` override the on-disk
-    files — used by the GGUF importer to feed decoded tensors in memory."""
+    files — used by the GGUF importer to feed decoded tensors in memory.
+
+    awq=True: run activation-aware scale search + per-channel clipping
+    (quant/awq_search.py; parity with the reference's
+    utils/awq_quantizer.py _search_best_scale/apply_clip) on `calib_tokens`
+    before quantizing."""
     if hf_config is not None:
         hf_cfg = hf_config
     else:
@@ -202,6 +321,22 @@ def convert_hf(
         if c.qk_norm:
             q_norms.append(get_norm(p + "self_attn.q_norm.weight"))
             k_norms.append(get_norm(p + "self_attn.k_norm.weight"))
+
+    if awq:
+        if c.is_moe or c.sandwich_norm:
+            raise NotImplementedError(
+                "AWQ search currently covers dense pre-norm decoders")
+        if calib_tokens is None:
+            raise ValueError("awq=True needs calib_tokens [B, T] int32")
+        _awq_transform(
+            c, np.asarray(calib_tokens, np.int32),
+            get("model.embed_tokens.weight"),
+            wqkv_mats, wqkv_biases, wo_mats, wgu_mats, wdown_mats,
+            in_norms, post_norms,
+            q_norms if c.qk_norm else None,
+            k_norms if c.qk_norm else None,
+            bits=bits, block_size=block_size, sym=sym, clip=awq_clip,
+        )
 
     bs_qkv = choose_block_size(c.hidden_size, block_size)
     bs_wo = choose_block_size(c.q_dim, block_size, tp_shards)
