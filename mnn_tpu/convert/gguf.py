@@ -277,9 +277,9 @@ def _unpermute(w: np.ndarray, n_heads: int) -> np.ndarray:
             .transpose(0, 2, 1, 3).reshape(out_dim, in_dim))
 
 
-def gguf_to_hf(path: str) -> Tuple[dict, Dict[str, np.ndarray]]:
+def gguf_to_hf(path: str, return_meta: bool = False):
     """Read a llama-architecture GGUF -> (HF-style config dict,
-    HF-named float tensor dict)."""
+    HF-named float tensor dict[, raw metadata])."""
     meta, tensors = read_gguf(path)
     arch = meta.get("general.architecture", "llama")
 
@@ -348,13 +348,152 @@ def gguf_to_hf(path: str) -> Tuple[dict, Dict[str, np.ndarray]]:
             elif part == "attn_k":
                 arr = _unpermute(arr, n_kv)
         out[f"model.layers.{idx}.{hf_part}.{kind}"] = arr
+    if return_meta:
+        return hf_cfg, out, meta
     return hf_cfg, out
 
 
+# llama.cpp token_type values (llama.h llama_token_type)
+_TT_NORMAL, _TT_UNKNOWN, _TT_CONTROL = 1, 2, 3
+_TT_USER_DEFINED, _TT_UNUSED, _TT_BYTE = 4, 5, 6
+
+
+def reconstruct_tokenizer(meta: Dict[str, Any], out_dir: str) -> bool:
+    """Rebuild HF-format tokenizer files from `tokenizer.ggml.*` metadata.
+
+    The reference rebuilds a usable tokenizer from the same keys
+    (/root/reference/transformers/llm/export/gguf2mnn.py:19-60); without
+    this, a GGUF-only convert silently degrades to the byte fallback and
+    produces garbage text. Emits `tokenizer.json` (BPE for the "gpt2"
+    model, Unigram for "llama"/sentencepiece) + `tokenizer_config.json`
+    (bos/eos + chat template) beside the checkpoint so
+    runtime/tokenizer.load_tokenizer picks them up. Returns False when the
+    file carries no vocabulary.
+    """
+    import json
+    import os
+
+    tokens = meta.get("tokenizer.ggml.tokens")
+    if not tokens:
+        return False
+    model = meta.get("tokenizer.ggml.model", "gpt2")
+    types = meta.get("tokenizer.ggml.token_type") or [_TT_NORMAL] * len(tokens)
+    scores = meta.get("tokenizer.ggml.scores")
+    merges = meta.get("tokenizer.ggml.merges")
+
+    added = [
+        {"id": i, "content": tok, "single_word": False, "lstrip": False,
+         "rstrip": False, "normalized": False, "special": True}
+        for i, (tok, tt) in enumerate(zip(tokens, types))
+        if tt in (_TT_CONTROL, _TT_UNKNOWN)
+    ]
+
+    if model in ("llama", "spm"):
+        # sentencepiece -> HF Unigram with byte fallback; GGUF stores the
+        # "▁"-space convention and <0xNN> byte pieces directly
+        vocab = [
+            [tok, float(scores[i]) if scores else 0.0]
+            for i, tok in enumerate(tokens)
+        ]
+        unk_id = int(meta.get("tokenizer.ggml.unknown_token_id", 0))
+        tok_json = {
+            "version": "1.0",
+            "truncation": None,
+            "padding": None,
+            "added_tokens": added,
+            "normalizer": {
+                "type": "Sequence",
+                "normalizers": [
+                    {"type": "Prepend", "prepend": "▁"},
+                    {"type": "Replace",
+                     "pattern": {"String": " "}, "content": "▁"},
+                ],
+            },
+            "pre_tokenizer": None,
+            "post_processor": None,
+            "decoder": {
+                "type": "Sequence",
+                "decoders": [
+                    {"type": "Replace",
+                     "pattern": {"String": "▁"}, "content": " "},
+                    {"type": "ByteFallback"},
+                    {"type": "Fuse"},
+                    {"type": "Strip", "content": " ", "start": 1, "stop": 0},
+                ],
+            },
+            "model": {
+                "type": "Unigram",
+                "unk_id": unk_id,
+                "vocab": vocab,
+                "byte_fallback": True,
+            },
+        }
+    else:
+        # byte-level BPE ("gpt2"): tokens are already in the byte-level
+        # alphabet; merges come straight from the metadata
+        vocab = {tok: i for i, tok in enumerate(tokens)}
+        tok_json = {
+            "version": "1.0",
+            "truncation": None,
+            "padding": None,
+            "added_tokens": added,
+            "normalizer": None,
+            "pre_tokenizer": {
+                "type": "ByteLevel", "add_prefix_space": False,
+                "trim_offsets": True, "use_regex": True,
+            },
+            "post_processor": {
+                "type": "ByteLevel", "add_prefix_space": False,
+                "trim_offsets": False, "use_regex": True,
+            },
+            "decoder": {
+                "type": "ByteLevel", "add_prefix_space": False,
+                "trim_offsets": True, "use_regex": True,
+            },
+            "model": {
+                "type": "BPE",
+                "dropout": None,
+                "unk_token": None,
+                "continuing_subword_prefix": "",
+                "end_of_word_suffix": "",
+                "fuse_unk": False,
+                "byte_fallback": False,
+                "vocab": vocab,
+                "merges": [m for m in (merges or [])],
+            },
+        }
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "tokenizer.json"), "w") as f:
+        json.dump(tok_json, f, ensure_ascii=False)
+
+    cfg: Dict[str, Any] = {"tokenizer_class": "PreTrainedTokenizerFast"}
+    for key, name in (("bos_token_id", "bos_token"),
+                      ("eos_token_id", "eos_token"),
+                      ("padding_token_id", "pad_token"),
+                      ("unknown_token_id", "unk_token")):
+        tid = meta.get(f"tokenizer.ggml.{key}")
+        if tid is not None and 0 <= int(tid) < len(tokens):
+            cfg[name] = tokens[int(tid)]
+    if meta.get("tokenizer.ggml.add_bos_token") is not None:
+        cfg["add_bos_token"] = bool(meta["tokenizer.ggml.add_bos_token"])
+    tmpl = meta.get("tokenizer.chat_template")
+    if tmpl:
+        cfg["chat_template"] = tmpl
+    with open(os.path.join(out_dir, "tokenizer_config.json"), "w") as f:
+        json.dump(cfg, f, ensure_ascii=False)
+    return True
+
+
 def convert_gguf(path: str, out_dir: str, **convert_kwargs) -> None:
-    """GGUF -> quantized mnn_tpu checkpoint (requantized on our grid)."""
-    hf_cfg, tensors = gguf_to_hf(path)
+    """GGUF -> quantized mnn_tpu checkpoint (requantized on our grid).
+
+    Also reconstructs the tokenizer from the GGUF metadata (vocab, merges,
+    special tokens, chat template) so the converted model chats correctly
+    without the original HF files."""
+    hf_cfg, tensors, meta = gguf_to_hf(path, return_meta=True)
     from mnn_tpu.convert.hf import convert_hf
 
     convert_hf(None, out_dir, hf_config=hf_cfg, tensors=tensors,
                **convert_kwargs)
+    reconstruct_tokenizer(meta, out_dir)
