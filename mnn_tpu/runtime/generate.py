@@ -142,6 +142,7 @@ def decode_steps(
     top_p: float = 0.9,
     min_p: float = 0.05,
     penalty: float = 1.0,
+    logit_bias=None,   # [V] additive bias array (traced) or None
 ):
     """Sample + forward `steps` times in one dispatch.
 
@@ -152,6 +153,7 @@ def decode_steps(
         return sampler_mod.sample(
             logits, k, st, sampler=sampler, temperature=temperature,
             top_k=top_k, top_p=top_p, min_p=min_p, penalty=penalty,
+            logit_bias=logit_bias,
         )
 
     def body(carry, _):

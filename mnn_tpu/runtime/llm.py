@@ -41,6 +41,8 @@ class PerfContext:
     prefill_s: float = 0.0
     decode_s: float = 0.0
     sample_s: float = 0.0
+    # ≈ reference LlmStatus (llm.hpp:95-103): OK | TIMEOUT
+    status: str = "ok"
 
     @property
     def prefill_tok_s(self) -> float:
@@ -115,7 +117,40 @@ class Llm:
     def context_len(self) -> int:
         return int(self.cache.length[0])
 
+    # -- KV host offload (reference: KVCacheManager size-limited spill,
+    # KVCacheManager.hpp:35-56) --------------------------------------------
+
+    def shelve_context(self, key: str, pool, token_ids=None) -> int:
+        """Move the current context's KV to the host pool and reset the
+        device cache; returns the shelved token count. Lets one Llm serve
+        many long-lived sessions with only one HBM cache slot."""
+        n = pool.shelve(key, self.cache, token_ids or [0] * self.context_len)
+        self.reset()
+        return n
+
+    def restore_context(self, key: str, pool) -> bool:
+        """Bring a shelved context back into the device cache (no
+        re-prefill). Returns False if the pool has no such key."""
+        got = pool.restore(key, self.cache)
+        if got is None:
+            return False
+        self.cache, _ = got
+        return True
+
     # -- generation --------------------------------------------------------
+
+    def _logit_bias_array(self):
+        """rt.logit_bias (id, bias) pairs -> dense [V] f32 array or None."""
+        lb = self.rt.logit_bias
+        if not lb:
+            return None
+        import numpy as np
+
+        v = np.zeros((self.config.vocab_size,), np.float32)
+        for tid, b in lb:
+            if 0 <= int(tid) < v.shape[0]:
+                v[int(tid)] = float(b)
+        return jnp.asarray(v)
 
     def stream(
         self,
@@ -124,8 +159,15 @@ class Llm:
         token_ids: Optional[List[int]] = None,
         max_new_tokens: Optional[int] = None,
         use_template: bool = False,
+        timeout_s: Optional[float] = None,
     ) -> Iterator[int]:
-        """Yield generated token ids as decode blocks complete."""
+        """Yield generated token ids as decode blocks complete.
+
+        timeout_s (default rt.timeout_s; 0 = unlimited): wall-clock
+        deadline measured from prefill start, checked between decode
+        blocks — the reference enforces its `timeout_ms` the same way in
+        the decode loop (generate.cpp:52-56); on expiry generation stops
+        cleanly and perf.status == "timeout"."""
         rt = self.rt
         if token_ids is None:
             text = prompt or ""
@@ -138,6 +180,8 @@ class Llm:
             token_ids = [0]
         max_new = max_new_tokens or rt.max_new_tokens
         eos = getattr(self.tokenizer, "eos_ids", set())
+        deadline = timeout_s if timeout_s is not None else rt.timeout_s
+        t_start = time.perf_counter()
 
         tokens = jnp.asarray([token_ids] * rt.max_batch, jnp.int32)
         self.perf = PerfContext(prompt_len=len(token_ids))
@@ -145,7 +189,8 @@ class Llm:
         if rt.speculative == "lookahead" and rt.sampler == "greedy":
             yield from self._stream_lookahead(token_ids, max_new, eos)
             return
-        if rt.speculative in ("eagle", "mtp") and rt.sampler == "greedy":
+        if rt.speculative in ("eagle", "eagle-tree", "mtp") \
+                and rt.sampler == "greedy":
             yield from self._stream_draft(token_ids, max_new, eos)
             return
 
@@ -159,12 +204,14 @@ class Llm:
         state = sampler.make_state(rt.max_batch)
         t0 = time.perf_counter()
 
+        bias = self._logit_bias_array()
+
         def dispatch(cache, logits, state, key, steps):
             return gen.decode_steps(
                 self.params, self.config, cache, logits, state, key,
                 steps=steps, sampler=rt.sampler, temperature=rt.temperature,
                 top_k=rt.top_k, top_p=rt.top_p, min_p=rt.min_p,
-                penalty=rt.penalty,
+                penalty=rt.penalty, logit_bias=bias,
             )
 
         # Double-buffered decode: block k+1 is dispatched (async) BEFORE
@@ -188,6 +235,9 @@ class Llm:
             produced += pending_steps
             self._key = key
             stop = produced >= max_new
+            if deadline and time.perf_counter() - t_start > deadline:
+                self.perf.status = "timeout"
+                stop = True
             consumed = 0
             for t in block:
                 consumed += 1
@@ -234,14 +284,19 @@ class Llm:
         draft checkpoint configured, heads are random-init — still LOSSLESS
         (verification guarantees AR-identical output), just low acceptance."""
         from mnn_tpu.models import eagle as eagle_mod
-        from mnn_tpu.runtime.speculative import EagleDraft, MtpDraft
+        from mnn_tpu.runtime.speculative import (EagleDraft, MtpDraft,
+                                                 TreeEagleDraft)
 
         key = jax.random.PRNGKey(self.rt.seed + 1)
-        if self.rt.speculative == "eagle":
+        if self.rt.speculative in ("eagle", "eagle-tree"):
             ep = eagle_mod.init_random_eagle(
                 self.config, key, bits=self.rt.quant_bits,
                 block_size=self.rt.quant_block,
             )
+            if self.rt.speculative == "eagle-tree":
+                return TreeEagleDraft(ep, draft_len=self.rt.draft_len,
+                                      capacity=self.rt.max_seq_len,
+                                      fanout=self.rt.tree_fanout)
             return EagleDraft(ep, draft_len=self.rt.draft_len,
                               capacity=self.rt.max_seq_len)
         heads = eagle_mod.init_random_mtp(
@@ -250,13 +305,16 @@ class Llm:
         return MtpDraft(heads)
 
     def _stream_draft(self, token_ids, max_new, eos):
-        from mnn_tpu.runtime.speculative import draft_generate
+        from mnn_tpu.runtime.speculative import (draft_generate,
+                                                 tree_draft_generate)
 
         if getattr(self, "drafter", None) is None:
             self.drafter = self._make_drafter()
+        gen_fn = (tree_draft_generate
+                  if self.drafter.kind == "eagle-tree" else draft_generate)
         t0 = time.perf_counter()
         first = True
-        for block in draft_generate(
+        for block in gen_fn(
             self, token_ids, max_new, drafter=self.drafter
         ):
             if first:

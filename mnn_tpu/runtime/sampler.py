@@ -145,9 +145,19 @@ def sample(
     tfs_z: float = 1.0,
     typical_p: float = 1.0,
     penalty: float = 1.0,
+    logit_bias: Optional[jax.Array] = None,   # [V] or [B, V] additive bias
 ):
-    """Returns (tokens [B], new_state). Order follows MNN's mixed chain."""
+    """Returns (tokens [B], new_state). Order follows MNN's mixed chain.
+
+    logit_bias: per-token additive bias applied before everything else
+    (the OpenAI-API semantics; reference llmconfig.hpp:517-520). -inf
+    entries ban tokens outright. [B, V] gives each batch row (serving
+    slot) its own bias.
+    """
     lf = logits.astype(jnp.float32)
+    if logit_bias is not None:
+        b = logit_bias.astype(jnp.float32)
+        lf = lf + (b if b.ndim == 2 else b[None, :])
     if state is not None and penalty != 1.0:
         lf = apply_penalty(lf, state, penalty)
 

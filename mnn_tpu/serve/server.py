@@ -88,6 +88,13 @@ def make_handler(llm, lock: threading.Lock, engine=None):
 
             max_tokens = body.get("max_tokens") or body.get(
                 "max_completion_tokens") or llm.rt.max_new_tokens
+            # OpenAI logit_bias: {"token_id": bias} -> (id, bias) pairs
+            logit_bias = None
+            if body.get("logit_bias"):
+                logit_bias = tuple(
+                    (int(k), float(v))
+                    for k, v in dict(body["logit_bias"]).items())
+            timeout_s = float(body.get("timeout", 0) or 0)
             if body.get("temperature") is not None:
                 llm.rt.temperature = float(body["temperature"])
             if body.get("top_p") is not None:
@@ -99,8 +106,12 @@ def make_handler(llm, lock: threading.Lock, engine=None):
 
             if engine is not None:
                 self._engine_completion(engine, prompt, max_tokens, stream,
-                                        rid, created, model_name, chat)
+                                        rid, created, model_name, chat,
+                                        logit_bias=logit_bias,
+                                        timeout_s=timeout_s or None)
                 return
+            import dataclasses as _dc
+            llm.rt = _dc.replace(llm.rt, logit_bias=logit_bias)
             with lock:
                 if not body.get("continue_context"):
                     llm.reset()
@@ -117,7 +128,8 @@ def make_handler(llm, lock: threading.Lock, engine=None):
 
                     buf = []
                     for tok in llm.stream(token_ids=llm.tokenizer.encode(prompt),
-                                          max_new_tokens=max_tokens):
+                                          max_new_tokens=max_tokens,
+                                          timeout_s=timeout_s or None):
                         buf.append(tok)
                         text = llm.tokenizer.decode(buf)
                         if text.endswith("�"):
@@ -167,9 +179,11 @@ def make_handler(llm, lock: threading.Lock, engine=None):
                 })
 
         def _engine_completion(self, engine, prompt, max_tokens, stream,
-                               rid, created, model_name, chat):
+                               rid, created, model_name, chat,
+                               logit_bias=None, timeout_s=None):
             ids = llm.tokenizer.encode(prompt)
-            req = engine.submit(ids, max_tokens)
+            req = engine.submit(ids, max_tokens, timeout_s=timeout_s,
+                                logit_bias=logit_bias)
             if stream:
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
