@@ -1,4 +1,10 @@
-"""Driver benchmark: Qwen2-0.5B INT4 + int8 KV, pp512 + tg128 on one chip.
+"""Driver benchmark: pp512 + tg128 on one chip, INT4 + int8 KV.
+
+Measures TWO configs per run:
+  * qwen2-0.5b — the round-1/2-comparable headline (vs the reference's
+    published Qwen2-0.5B INT4 iPhone 15 Pro numbers);
+  * qwen2-7b  — the BASELINE.json north-star config (INT4 7B, int8 KV),
+    with a stated HBM-roofline fraction.
 
 Mirrors the reference's llm_bench pp/tg methodology
 (/root/reference/transformers/llm/engine/app/llm_benchmark.cpp, results at
@@ -17,9 +23,16 @@ fixed roundtrip cancels and the slope is pure device time:
 
     device_time = (T(K runs) - T(1 run)) / (K - 1)
 
+Decode roofline: batch-1 decode is weight-streaming-bound; the upper bound
+is sustained HBM bandwidth / bytes-read-per-token (packed weights + scale
+planes + KV rows), the reference's own gemv methodology
+(/root/reference/docs/perf/gemv_bw_benchmark.md). HBM_GBS below is the
+sustained (not peak) bandwidth measured on this chip.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
+import argparse
 import json
 import time
 
@@ -28,13 +41,39 @@ import numpy as np
 PP, TG, REPS = 512, 128, 5
 BASELINE_DECODE = 51.36   # tok/s, reference published (see module docstring)
 BASELINE_PREFILL = 234.51
+HBM_GBS = 819.0           # sustained HBM GB/s on this chip (measured r1)
 
 
-def main():
-    from mnn_tpu.utils.compile_cache import enable as enable_compile_cache
+def _decode_bytes_per_token(c, rt, kv_len):
+    """HBM bytes streamed per decode token: packed weights, scale/bias
+    planes (bf16), embedding row + lm head, KV rows read. MoE: only the
+    routed top-k experts (+ shared expert) stream per token."""
+    h, L = c.hidden_size, c.num_layers
+    nq = (c.num_heads + 2 * c.num_kv_heads) * c.head_dim
+    dq = c.q_dim
+    bs = rt.quant_block
+    pack = 2 if rt.quant_bits == 4 else 1
 
-    enable_compile_cache()
+    def lin(k_dim, n_dim):  # packed + bf16 scale/bias planes
+        return k_dim * n_dim // pack + (k_dim // bs) * n_dim * 2 * 2
 
+    per_layer = lin(h, nq) + lin(dq, h)
+    if c.is_moe:
+        mi = c.moe_intermediate_size
+        per_layer += c.num_experts_per_tok * (lin(h, 2 * mi) + lin(mi, h))
+        if c.shared_expert_intermediate_size:
+            si = c.shared_expert_intermediate_size
+            per_layer += lin(h, 2 * si) + lin(si, h)
+    else:
+        i_dim = c.intermediate_size
+        per_layer += lin(h, 2 * i_dim) + lin(i_dim, h)
+    kv = L * 2 * c.num_kv_heads * kv_len * c.head_dim  # int8 K+V read
+    head_pack = 2 if rt.lm_head_bits == 4 else 1
+    head = h * c.vocab_size // head_pack
+    return L * per_layer + kv + head
+
+
+def bench_preset(preset: str, pp: int = PP, tg: int = TG):
     import jax
     import jax.numpy as jnp
 
@@ -43,9 +82,9 @@ def main():
     from mnn_tpu.runtime import generate as gen
     from mnn_tpu.runtime import kvcache, sampler
 
-    c = PRESETS["qwen2-0.5b"]
+    c = PRESETS[preset]
     rt = RuntimeConfig(
-        max_seq_len=1024, prefill_chunk=PP, decode_block=TG,
+        max_seq_len=1024, prefill_chunk=pp, decode_block=tg,
         sampler="greedy", kv_quant=True, quant_bits=4, quant_block=128,
         lm_head_bits=4,
     )
@@ -57,7 +96,7 @@ def main():
         c.num_layers, 1, c.num_kv_heads, rt.max_seq_len, c.head_dim,
         quantized=rt.kv_quant,
     )
-    tokens = jnp.zeros((1, PP), jnp.int32)
+    tokens = jnp.zeros((1, pp), jnp.int32)
 
     # --- prefill: pp512, queue-depth differencing --------------------------
     def queue_prefill(k):
@@ -74,7 +113,12 @@ def main():
     t_lo = min(queue_prefill(2) for _ in range(REPS))
     t_hi = min(queue_prefill(12) for _ in range(REPS))
     prefill_s = (t_hi - t_lo) / 10
-    prefill_tok_s = PP / prefill_s
+    prefill_tok_s = pp / prefill_s
+    # prefill MFU: 2 flops/MAC over the dense path at bf16 peak ~197 TF/s
+    flops_tok = 2 * c.num_layers * (
+        c.hidden_size * (c.num_heads + 2 * c.num_kv_heads) * c.head_dim
+        + c.q_dim * c.hidden_size + 3 * c.hidden_size * c.intermediate_size)
+    mfu = prefill_tok_s * flops_tok / 197e12
 
     # --- decode: tg128 after pp512, step-count differencing ----------------
     logits, cache = gen.run_prefill(params, c, rt, tokens, cache0)
@@ -98,21 +142,62 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t32 = time_decode(TG // 4)
-    t128 = time_decode(TG)
-    decode_s_tok = (t128 - t32) / (TG - TG // 4)
+    t32 = time_decode(tg // 4)
+    t128 = time_decode(tg)
+    decode_s_tok = (t128 - t32) / (tg - tg // 4)
     decode_tok_s = 1.0 / decode_s_tok
+    roofline = HBM_GBS * 1e9 / _decode_bytes_per_token(c, rt, pp + tg // 2)
+    return {
+        "decode_tok_s": round(decode_tok_s, 2),
+        "prefill_tok_s": round(prefill_tok_s, 2),
+        "decode_roofline_pct": round(100 * decode_tok_s / roofline, 1),
+        "decode_roofline_tok_s": round(roofline, 1),
+        "prefill_mfu_pct": round(100 * mfu, 1),
+    }
 
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default=None,
+                    help="bench only this preset (default: 0.5b + 7b)")
+    args = ap.parse_args()
+
+    from mnn_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
+
+    if args.preset:
+        r = bench_preset(args.preset)
+        print(json.dumps({
+            "metric": "decode_tok_s", "value": r["decode_tok_s"],
+            "unit": "tok/s", "vs_baseline": round(
+                r["decode_tok_s"] / BASELINE_DECODE, 2),
+            "model": f"{args.preset} INT4 block128 asym, int8 KV, synthetic",
+            **r,
+        }))
+        return
+
+    small = bench_preset("qwen2-0.5b")
+    big = bench_preset("qwen2-7b")
+    try:
+        moe = bench_preset("qwen1.5-moe-a2.7b")
+    except Exception as e:  # never lose the headline numbers to the extra
+        moe = {"error": f"{type(e).__name__}: {str(e)[:120]}"}
     print(json.dumps({
         "metric": "decode_tok_s",
-        "value": round(decode_tok_s, 2),
+        "value": small["decode_tok_s"],
         "unit": "tok/s",
-        "vs_baseline": round(decode_tok_s / BASELINE_DECODE, 2),
+        "vs_baseline": round(small["decode_tok_s"] / BASELINE_DECODE, 2),
         "model": "qwen2-0.5b INT4 block128 asym, int8 KV, synthetic weights",
         "bench": f"pp{PP}+tg{TG}, greedy, batch 1, device-time differencing,"
                  f" best of {REPS}",
-        "prefill_tok_s": round(prefill_tok_s, 2),
-        "prefill_vs_baseline": round(prefill_tok_s / BASELINE_PREFILL, 2),
+        "prefill_tok_s": small["prefill_tok_s"],
+        "prefill_vs_baseline": round(
+            small["prefill_tok_s"] / BASELINE_PREFILL, 2),
+        "decode_roofline_pct": small["decode_roofline_pct"],
+        "prefill_mfu_pct": small["prefill_mfu_pct"],
+        "qwen2_7b": big,
+        "qwen1.5_moe_a2.7b": moe,
         "baseline": "MNN Qwen2-0.5B INT4 iPhone 15 Pro"
                     " (51.36 decode / 234.51 prefill tok/s)",
     }))

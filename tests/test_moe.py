@@ -91,3 +91,47 @@ class TestMoeSharding:
                                 jnp.asarray([[4]], jnp.int32), cache)
         assert logits.shape == (1, 256)
         assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestRoutedDecodePath:
+    """The gathered top-k decode path (models/decoder.py _moe_mlp n<=8
+    branch) must match the dense-dispatch formulation — same experts, same
+    gate weights, different summation order only."""
+
+    def test_routed_matches_dense(self):
+        from mnn_tpu.models.decoder import _moe_mlp
+
+        params = init_random_params(MOE_CFG, jax.random.PRNGKey(0),
+                                    scale=0.05)
+        lp = jax.tree_util.tree_map(lambda a: a[0], params.layers)
+        for n in (1, 4):
+            h2 = jax.random.normal(jax.random.PRNGKey(7), (n, 1, 128),
+                                   jnp.float32) * 0.1
+            routed = _moe_mlp(MOE_CFG, h2, lp, None, False)   # n <= 8
+            # force dense-dispatch by padding above the n<=8 threshold
+            h2_big = jnp.concatenate(
+                [h2.reshape(n, 128)] + [jnp.zeros((9 - n, 128))]
+            ).reshape(9, 1, 128)
+            dense_big = _moe_mlp(MOE_CFG, h2_big, lp, None, False)
+            want = np.asarray(dense_big[:n, 0], np.float32)
+            got = np.asarray(routed[:, 0], np.float32)
+            rel = np.linalg.norm(got - want) / max(
+                np.linalg.norm(want), 1e-9)
+            assert rel < 1e-5, (n, rel)
+
+    def test_moe_prefill_then_routed_decode_consistent(self):
+        """Decode continuation of a prefill agrees with an all-at-once
+        prefill at the decode position (routed path vs dense path)."""
+        params = init_random_params(MOE_CFG, jax.random.PRNGKey(0),
+                                    scale=0.05)
+        toks = jnp.asarray([[5, 3, 9, 2, 7]], jnp.int32)
+        cache = kvcache.create(MOE_CFG.num_layers, 1, MOE_CFG.num_kv_heads,
+                               16, MOE_CFG.head_dim, quantized=False)
+        want, _ = forward(params, MOE_CFG, toks, cache)
+        cache2 = kvcache.create(MOE_CFG.num_layers, 1, MOE_CFG.num_kv_heads,
+                                16, MOE_CFG.head_dim, quantized=False)
+        _, cache2 = forward(params, MOE_CFG, toks[:, :4], cache2)
+        got, _ = forward(params, MOE_CFG, toks[:, 4:5], cache2)
+        rel = np.linalg.norm(np.asarray(got - want, np.float32)) / \
+            np.linalg.norm(np.asarray(want, np.float32))
+        assert rel < 5e-3, rel
