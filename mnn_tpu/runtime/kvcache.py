@@ -300,3 +300,36 @@ def reset(cache: KVCache) -> KVCache:
     return dataclasses.replace(
         cache, length=jnp.zeros_like(cache.length)
     )
+
+
+def compact_tail(cache: KVCache, start, sel, m) -> KVCache:
+    """Keep only rows start+sel[i] of the appended tail, compacted to
+    start..start+m-1 (token-tree verify: the accepted root-to-leaf path's
+    KV rows move into place, sibling branches are discarded — the TPU
+    analog of the reference tokentree retrieve step, tokentree.hpp:24).
+
+    sel: [W] int32 offsets relative to `start` (ascending for i < m;
+    entries at i >= m are junk — their writes land beyond the new length
+    and are masked by kv_len everywhere). One compiled shape serves every
+    acceptance count m.
+    """
+    start = jnp.asarray(start, jnp.int32)
+    sel = jnp.asarray(sel, jnp.int32)
+    m = jnp.asarray(m, jnp.int32)
+    w = sel.shape[0]
+
+    def move(a, axis_s):
+        # gather rows start+sel along the sequence axis, then write them
+        # back at start..start+w-1
+        rows = jnp.take(a, start + sel, axis=axis_s)
+        return jax.lax.dynamic_update_slice_in_dim(a, rows, start, axis_s)
+
+    upd = dict(
+        k=move(cache.k, 3), v=move(cache.v, 3),
+        length=jnp.minimum(start + m, cache.capacity)
+        * jnp.ones_like(cache.length),
+    )
+    if cache.quantized:
+        upd["k_scale"] = move(cache.k_scale, 3)
+        upd["v_scale"] = move(cache.v_scale, 3)
+    return dataclasses.replace(cache, **upd)

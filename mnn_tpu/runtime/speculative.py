@@ -320,6 +320,178 @@ class MtpDraft:
         pass
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
+def _tree_verify_fwd(params, config, arr, depths, tmask, cache):
+    """Target forward over a token tree (depth-positions + ancestor mask).
+
+    Returns (greedy targets [B,T], features [B,T,H], cache with the T tree
+    rows appended at the tail — compact with kvcache.compact_tail after
+    retrieval)."""
+    hidden, cache = forward(params, config, arr, cache, return_hidden=True,
+                            tree=(depths, tmask))
+    feats = rms_norm(hidden, params.final_norm, config.rms_norm_eps)
+    logits = head_logits(params, feats)
+    return jnp.argmax(logits, axis=-1), feats, cache
+
+
+class TreeEagleDraft(EagleDraft):
+    """Static K x depth token-TREE drafter: K sibling chains off the top-K
+    first-draft candidates, each continued greedily to `depth`.
+
+    Reference parity: EagleGeneration's draft tree with retrieve/accept
+    (/root/reference/transformers/llm/engine/src/speculative_decoding/
+    tokentree.hpp:24, eagle.cpp). TPU re-design: the tree SHAPE is static
+    (K chains x depth nodes, one fixed verify shape -> one compile), the
+    mask/positions are data — where the reference builds a dynamic tree
+    per step. The win over chain mode is first-token uncertainty: when the
+    draft's argmax misses, one of the K-1 siblings often hits, converting
+    a 0-accept round into >=1."""
+
+    kind = "eagle-tree"
+
+    def __init__(self, eparams, draft_len: int = 4, capacity: int = 2048,
+                 fanout: int = 3):
+        super().__init__(eparams, draft_len=draft_len, capacity=capacity)
+        self.fanout = fanout
+
+    @property
+    def n_nodes(self) -> int:
+        return 1 + self.fanout * self.draft_len
+
+    def tree_layout(self):
+        """(depths [N] i32, mask [N, N] bool) for root + K chains."""
+        k, d = self.fanout, self.draft_len
+        n = self.n_nodes
+        depths = np.zeros((n,), np.int32)
+        mask = np.zeros((n, n), bool)
+        mask[0, 0] = True
+        for c in range(k):
+            for j in range(d):
+                i = 1 + c * d + j
+                depths[i] = 1 + j
+                mask[i, 0] = True                 # root
+                for a in range(j + 1):            # own chain ancestors + self
+                    mask[i, 1 + c * d + a] = True
+        return jnp.asarray(depths), jnp.asarray(mask)
+
+    def propose_tree(self, last_token: int, last_feat) -> np.ndarray:
+        """[K, depth] candidate chains (row c starts at the c-th top-K
+        first-step draft candidate). self.cache untouched (speculative
+        appends land on local copies, like chain propose)."""
+        from mnn_tpu.models.eagle import eagle_forward, eagle_next_token
+        from mnn_tpu.models.layers import rms_norm as _rms  # noqa: F401
+        from mnn_tpu.models.decoder import head_logits as _hl
+
+        tok = jnp.asarray([[last_token]], jnp.int32)
+        feat = last_feat[:, None]
+        h, cache1 = eagle_forward(
+            self.ep, self.params, self.config, tok, feat, self.cache)
+        logits = _hl(self.params, h[:, -1])
+        _, idx = jax.lax.top_k(logits[0], self.fanout)
+        idx = np.asarray(idx)
+        chains = np.zeros((self.fanout, self.draft_len), np.int64)
+        for c in range(self.fanout):
+            chains[c, 0] = int(idx[c])
+            tok_c = jnp.asarray([[int(idx[c])]], jnp.int32)
+            feat_c = h[:, -1:]
+            cache_c = cache1
+            for j in range(1, self.draft_len):
+                nxt, hh, cache_c = eagle_next_token(
+                    self.ep, self.params, self.config, tok_c, feat_c, cache_c)
+                chains[c, j] = int(nxt[0])
+                tok_c = nxt[:, None].astype(jnp.int32)
+                feat_c = hh[:, -1:]
+        return chains
+
+
+def tree_draft_generate(llm, token_ids: List[int], max_new_tokens: int, *,
+                        drafter: TreeEagleDraft):
+    """Greedy token-TREE speculative decoding; lossless vs plain AR decode.
+
+    Per round: one K x depth tree proposal, ONE tree-masked target forward
+    over all 1 + K*depth nodes, retrieve the accepted root-to-leaf path,
+    compact its KV rows in place (kvcache.compact_tail) and commit the
+    path to the drafter. Yields accepted-token lists per round.
+    """
+    from mnn_tpu.runtime import kvcache as kvc
+
+    d = drafter.draft_len
+    kf = drafter.fanout
+    depths, tmask = drafter.tree_layout()
+
+    logits, feats, cache = prefill_with_features(
+        llm.params, llm.config, llm.rt,
+        jnp.asarray([token_ids], jnp.int32), llm.cache,
+    )
+    llm.cache = cache
+    drafter.start(llm.params, llm.config, token_ids, feats)
+
+    last = int(np.asarray(jnp.argmax(logits[0])))
+    prev_feat = feats[:, -1]
+    produced = [last]
+    yield [last]
+    accepted_total = drafted_total = rounds = 0
+
+    while len(produced) < max_new_tokens:
+        chains = drafter.propose_tree(last, prev_feat)     # [K, d]
+        nodes = [last] + chains.reshape(-1).tolist()       # [1 + K*d]
+        start = int(cache.length[0])
+        targets, vfeats, cache = _tree_verify_fwd(
+            llm.params, llm.config, jnp.asarray([nodes], jnp.int32),
+            depths, tmask, cache,
+        )
+        tg = np.asarray(targets[0])
+        # retrieve: walk the accepted chain
+        best_c, n_accept = 0, 0
+        t0 = int(tg[0])
+        for c in range(kf):
+            if chains[c, 0] == t0:
+                best_c = c
+                n_accept = 1
+                while n_accept < d:
+                    node_i = 1 + c * d + (n_accept - 1)
+                    if chains[c, n_accept] == int(tg[node_i]):
+                        n_accept += 1
+                    else:
+                        break
+                break
+        path_nodes = [0] + [1 + best_c * d + j for j in range(d)]
+        tail_i = path_nodes[n_accept]
+        emitted = chains[best_c, :n_accept].tolist() + [int(tg[tail_i])]
+        drafted_total += d
+        accepted_total += n_accept
+        rounds += 1
+
+        # compact the tree tail: keep root + accepted path rows
+        sel = np.asarray(path_nodes[: d + 1], np.int32)
+        cache = kvc.compact_tail(cache, start, jnp.asarray(sel),
+                                 1 + n_accept)
+        # features along the accepted path, linearized for the drafter:
+        # index 0 = root (same convention as chain-mode _verify_fwd)
+        vf_lin = vfeats[:, jnp.asarray(path_nodes, jnp.int32)]
+        drafter.commit(last, prev_feat, emitted, vf_lin, n_accept)
+        budget = max_new_tokens - len(produced)
+        if len(emitted) > budget:
+            over = len(emitted) - budget
+            emitted = emitted[:budget]
+            cache = kvc.rollback(cache, over)
+            drafter.rollback(over)
+        prev_feat = vf_lin[:, n_accept]
+        produced.extend(emitted)
+        last = emitted[-1]
+        llm.cache = cache
+        llm.spec_stats = {
+            "drafted": drafted_total,
+            "accepted": accepted_total,
+            "accept_rate": accepted_total / drafted_total
+            if drafted_total else 0.0,
+            "tokens_per_round": len(produced) / rounds if rounds else 0.0,
+        }
+        yield emitted
+
+    llm.cache = cache
+
+
 def draft_generate(llm, token_ids: List[int], max_new_tokens: int, *, drafter):
     """Greedy draft-model speculative decoding; lossless vs plain AR decode.
 

@@ -29,7 +29,7 @@ PROMPT = [5, 6, 7, 5, 6, 7, 5, 6, 7, 5, 6]
 
 
 class TestDraftModelLossless:
-    @pytest.mark.parametrize("mode", ["eagle", "mtp"])
+    @pytest.mark.parametrize("mode", ["eagle", "eagle-tree", "mtp"])
     def test_matches_plain_greedy(self, mode):
         plain = _llm()
         want = list(plain.stream(token_ids=PROMPT, max_new_tokens=20))
