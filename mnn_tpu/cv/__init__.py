@@ -15,6 +15,44 @@ from mnn_tpu.cv.geometric import (
     rotate90,
     warp_affine,
 )
+from mnn_tpu.cv.filter import (
+    bilateral_filter,
+    blur,
+    box_filter,
+    dilate,
+    erode,
+    filter2d,
+    gaussian_blur,
+    get_deriv_kernels,
+    get_gaussian_kernel,
+    get_structuring_element,
+    laplacian,
+    morphology_ex,
+    pyr_down,
+    pyr_up,
+    scharr,
+    sep_filter2d,
+    sobel,
+    spatial_gradient,
+    sqr_box_filter,
+)
+from mnn_tpu.cv.histogram import (
+    adaptive_threshold,
+    blend_linear,
+    calc_hist,
+    equalize_hist,
+    integral,
+    threshold,
+)
+from mnn_tpu.cv.structural import (
+    bounding_rect,
+    box_points,
+    connected_components,
+    connected_components_with_stats,
+    contour_area,
+    convex_hull,
+    min_area_rect,
+)
 from mnn_tpu.cv.image_process import ImageProcess, ImageProcessConfig
 
 
