@@ -89,6 +89,8 @@ def _attrs(node: "O.NodeProto") -> Dict[str, Any]:
 
 
 def _is_static(v) -> bool:
+    if isinstance(v, (list, tuple)):
+        return all(_is_static(x) for x in v)
     return isinstance(v, (np.ndarray, np.generic, int, float, bool))
 
 
@@ -631,6 +633,266 @@ def _upsample(ctx, node, x, scales=None):
     if at.get("mode", "nearest") == "nearest":
         return N.resize_nearest(x, hw)
     return N.resize_bilinear(x, hw)
+
+
+# -- breadth ops (reference: Unary/BinaryOp/Reduce converter groups cover
+# these op families in tools/converter/source/onnx/) ------------------------
+
+for name, f in {
+    "Tan": jnp.tan, "Atan": jnp.arctan, "Asin": jnp.arcsin,
+    "Acos": jnp.arccos, "Sinh": jnp.sinh, "Cosh": jnp.cosh,
+    "Asinh": jnp.arcsinh, "Acosh": jnp.arccosh, "Atanh": jnp.arctanh,
+    "IsNaN": jnp.isnan, "Softsign": jax.nn.soft_sign,
+}.items():
+    _OPS[name] = (lambda f: lambda ctx, node, x: f(x))(f)
+
+_OPS["Mod"] = _binary(lambda a, b: a % b)
+_OPS["Xor"] = _binary(lambda a, b: a ^ b)
+_OPS["Sum"] = lambda ctx, node, *xs: functools.reduce(lambda a, b: a + b, xs)
+_OPS["Mean"] = lambda ctx, node, *xs: functools.reduce(
+    lambda a, b: a + b, xs) / len(xs)
+
+_OPS["ReduceL1"] = _reduce(
+    lambda x, axis, keepdims: jnp.sum(jnp.abs(x), axis=axis,
+                                      keepdims=keepdims))
+_OPS["ReduceSumSquare"] = _reduce(
+    lambda x, axis, keepdims: jnp.sum(x * x, axis=axis, keepdims=keepdims))
+_OPS["ReduceLogSum"] = _reduce(
+    lambda x, axis, keepdims: jnp.log(jnp.sum(x, axis=axis,
+                                              keepdims=keepdims)))
+_OPS["ReduceLogSumExp"] = _reduce(
+    lambda x, axis, keepdims: jax.scipy.special.logsumexp(
+        x, axis=axis, keepdims=keepdims))
+
+
+@op("Selu")
+def _selu(ctx, node, x):
+    at = _attrs(node)
+    a = at.get("alpha", 1.6732632)
+    g = at.get("gamma", 1.050701)
+    return g * jnp.where(x > 0, x, a * (jnp.exp(x) - 1.0))
+
+
+@op("Celu")
+def _celu(ctx, node, x):
+    a = _attrs(node).get("alpha", 1.0)
+    return jnp.maximum(x, 0) + jnp.minimum(0, a * (jnp.exp(x / a) - 1.0))
+
+
+@op("ThresholdedRelu")
+def _thresholded_relu(ctx, node, x):
+    a = _attrs(node).get("alpha", 1.0)
+    return jnp.where(x > a, x, 0.0)
+
+
+@op("Shrink")
+def _shrink(ctx, node, x):
+    at = _attrs(node)
+    lam = at.get("lambd", 0.5)
+    bias = at.get("bias", 0.0)
+    return jnp.where(x < -lam, x + bias, jnp.where(x > lam, x - bias, 0.0))
+
+
+@op("Hardmax")
+def _hardmax(ctx, node, x):
+    ax = _attrs(node).get("axis", -1)
+    return jax.nn.one_hot(jnp.argmax(x, axis=ax), x.shape[ax], axis=ax,
+                          dtype=x.dtype)
+
+
+@op("ArgMin")
+def _argmin(ctx, node, x):
+    at = _attrs(node)
+    y = jnp.argmin(x, axis=at.get("axis", 0))
+    if at.get("keepdims", 1):
+        y = jnp.expand_dims(y, at.get("axis", 0))
+    return y.astype(jnp.int64)
+
+
+@op("CumSum")
+def _cumsum(ctx, node, x, axis):
+    ax = int(_static_ints(axis, "CumSum axis").reshape(-1)[0])
+    at = _attrs(node)
+    y = jnp.cumsum(jnp.flip(x, ax) if at.get("reverse") else x, axis=ax)
+    if at.get("exclusive"):
+        y = jnp.roll(y, 1, axis=ax)
+        idx = [slice(None)] * y.ndim
+        idx[ax] = 0
+        y = y.at[tuple(idx)].set(0)
+    return jnp.flip(y, ax) if at.get("reverse") else y
+
+
+@op("DepthToSpace")
+def _depth_to_space(ctx, node, x):
+    at = _attrs(node)
+    bs = int(at["blocksize"])
+    n, c, h, w = x.shape
+    if at.get("mode", "DCR") == "DCR":
+        y = x.reshape(n, bs, bs, c // (bs * bs), h, w)
+        y = y.transpose(0, 3, 4, 1, 5, 2)
+    else:  # CRD
+        y = x.reshape(n, c // (bs * bs), bs, bs, h, w)
+        y = y.transpose(0, 1, 4, 2, 5, 3)
+    return y.reshape(n, c // (bs * bs), h * bs, w * bs)
+
+
+@op("SpaceToDepth")
+def _space_to_depth(ctx, node, x):
+    bs = int(_attrs(node)["blocksize"])
+    n, c, h, w = x.shape
+    y = x.reshape(n, c, h // bs, bs, w // bs, bs)
+    y = y.transpose(0, 3, 5, 1, 2, 4)
+    return y.reshape(n, c * bs * bs, h // bs, w // bs)
+
+
+@op("LRN")
+def _lrn(ctx, node, x):
+    at = _attrs(node)
+    size = int(at["size"])
+    alpha = at.get("alpha", 1e-4)
+    beta = at.get("beta", 0.75)
+    bias = at.get("bias", 1.0)
+    sq = x * x
+    half = size // 2
+    pad = jnp.pad(sq, ((0, 0), (half, size - 1 - half), (0, 0), (0, 0)))
+    acc = sum(pad[:, i:i + x.shape[1]] for i in range(size))
+    return x / (bias + (alpha / size) * acc) ** beta
+
+
+@op("EyeLike")
+def _eyelike(ctx, node, x):
+    k = _attrs(node).get("k", 0)
+    return jnp.eye(x.shape[0], x.shape[1], k=k, dtype=jnp.asarray(x).dtype)
+
+
+@op("OneHot")
+def _onehot(ctx, node, indices, depth, values):
+    ax = _attrs(node).get("axis", -1)
+    d = int(_static_ints(depth, "OneHot depth").reshape(-1)[0])
+    vals = jnp.asarray(values)
+    oh = jax.nn.one_hot(jnp.asarray(indices) % d, d, axis=ax)
+    return oh * (vals[1] - vals[0]) + vals[0]
+
+
+@op("Trilu")
+def _trilu(ctx, node, x, k=None):
+    kk = int(_static_ints(k, "Trilu k").reshape(-1)[0]) if k is not None else 0
+    upper = _attrs(node).get("upper", 1)
+    return jnp.triu(x, kk) if upper else jnp.tril(x, kk)
+
+
+@op("GatherND")
+def _gather_nd(ctx, node, data, indices):
+    b = _attrs(node).get("batch_dims", 0)
+    if b:
+        raise NotImplementedError("GatherND batch_dims > 0")
+    data = jnp.asarray(data)
+    idx = jnp.asarray(indices)
+    m = idx.shape[-1]
+    flat = idx.reshape(-1, m)
+    out = data[tuple(flat[:, i] for i in range(m))]
+    return out.reshape(idx.shape[:-1] + data.shape[m:])
+
+
+@op("ScatterND")
+def _scatter_nd(ctx, node, data, indices, updates):
+    data = jnp.asarray(data)
+    idx = jnp.asarray(indices)
+    upd = jnp.asarray(updates)
+    m = idx.shape[-1]
+    flat = idx.reshape(-1, m)
+    upd_flat = upd.reshape((flat.shape[0],) + data.shape[m:])
+    return data.at[tuple(flat[:, i] for i in range(m))].set(upd_flat)
+
+
+@op("ScatterElements")
+def _scatter_elements(ctx, node, data, indices, updates):
+    ax = _attrs(node).get("axis", 0)
+    data = jnp.asarray(data)
+    idx = jnp.asarray(indices)
+    upd = jnp.asarray(updates)
+    ii = jnp.indices(idx.shape)
+    ii = list(ii)
+    ii[ax] = idx
+    red = _attrs(node).get("reduction", "none")
+    at = data.at[tuple(ii)]
+    if red == "add":
+        return at.add(upd)
+    if red in ("mul", "max", "min"):
+        return getattr(at, red)(upd)
+    return at.set(upd)
+
+
+@op("GroupNormalization")
+def _group_norm(ctx, node, x, scale, bias):
+    at = _attrs(node)
+    g = int(at["num_groups"])
+    eps = at.get("epsilon", 1e-5)
+    n, c = x.shape[:2]
+    xg = x.reshape(n, g, c // g, *x.shape[2:])
+    axes = tuple(range(2, xg.ndim))
+    mu = jnp.mean(xg, axis=axes, keepdims=True)
+    var = jnp.var(xg, axis=axes, keepdims=True)
+    y = ((xg - mu) * jax.lax.rsqrt(var + eps)).reshape(x.shape)
+    shp = (1, c) + (1,) * (x.ndim - 2)
+    return y * jnp.asarray(scale).reshape(shp) + \
+        jnp.asarray(bias).reshape(shp)
+
+
+@op("NonMaxSuppression")
+def _nms_op(ctx, node, boxes, scores, max_out=None, iou_th=None, score_th=None):
+    """Static-shape NMS via ops/nms.py (TPU-jittable); emits the ONNX
+    [num_selected, 3] (batch, class, box) index layout, padded entries
+    dropped host-side when static."""
+    from mnn_tpu.ops.nms import nms
+
+    mo = int(_static_ints(max_out, "nms max_out").reshape(-1)[0]) \
+        if max_out is not None else boxes.shape[1]
+    iou = float(np.asarray(iou_th).reshape(-1)[0]) if iou_th is not None else 0.5
+    sth = float(np.asarray(score_th).reshape(-1)[0]) \
+        if score_th is not None else 0.0
+    b = np.asarray(boxes)  # [1, N, 4] y1x1y2x2 per onnx center_point_box=0
+    s = np.asarray(scores)  # [1, C, N]
+    out = []
+    for ci in range(s.shape[1]):
+        idx, valid = nms(jnp.asarray(b[0]), jnp.asarray(s[0, ci]),
+                         iou_threshold=iou, score_threshold=sth,
+                         max_outputs=mo)
+        idx = np.asarray(idx)[np.asarray(valid)]
+        out.extend((0, ci, int(i)) for i in idx)
+    return np.asarray(out, np.int64).reshape(-1, 3)
+
+
+@op("DequantizeLinear")
+def _dequantize_linear(ctx, node, x, scale, zero=None):
+    ax = _attrs(node).get("axis", 1)
+    x = jnp.asarray(x).astype(jnp.int32)
+    z = jnp.asarray(zero).astype(jnp.int32) if zero is not None else 0
+    s = jnp.asarray(scale, jnp.float32)
+    if s.ndim:  # per-axis
+        shp = [1] * x.ndim
+        shp[ax] = -1
+        s = s.reshape(shp)
+        if zero is not None:
+            z = jnp.asarray(z).reshape(shp)
+    return (x - z).astype(jnp.float32) * s
+
+
+@op("QuantizeLinear")
+def _quantize_linear(ctx, node, x, scale, zero=None):
+    ax = _attrs(node).get("axis", 1)
+    s = jnp.asarray(scale, jnp.float32)
+    z = jnp.asarray(zero).astype(jnp.int32) if zero is not None else 0
+    if s.ndim:
+        shp = [1] * jnp.asarray(x).ndim
+        shp[ax] = -1
+        s = s.reshape(shp)
+        if zero is not None:
+            z = jnp.asarray(z).reshape(shp)
+    zdt = jnp.asarray(zero).dtype if zero is not None else jnp.uint8
+    info = jnp.iinfo(zdt)
+    return jnp.clip(jnp.round(jnp.asarray(x, jnp.float32) / s) + z,
+                    info.min, info.max).astype(zdt)
 
 
 # -- driver ------------------------------------------------------------------

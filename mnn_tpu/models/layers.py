@@ -32,6 +32,10 @@ def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
     """
     half = head_dim // 2
     freqs = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32) / half))
+    if scaling is not None and scaling[3] < 0:
+        # linear scaling (gemma3 global rope): every band / factor
+        freqs = freqs / scaling[0]
+        scaling = None
     if scaling is not None:
         factor, low_f, high_f, orig_max = scaling
         wavelen = 2.0 * jnp.pi / freqs

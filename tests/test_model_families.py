@@ -90,6 +90,61 @@ class TestGemma2:
         assert out_cfg.sliding_window == 4
 
 
+class TestGemma3:
+    def test_logits_match(self, tmp_path):
+        """Gemma3: dual rope theta (local 10k on sliding layers, global 1M
+        on every pattern-th layer), N:1 sliding/full pattern, qk-norm,
+        sandwich norms, no softcaps."""
+        from transformers import Gemma3TextConfig, Gemma3ForCausalLM
+        cfg = Gemma3TextConfig(
+            vocab_size=96, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, max_position_embeddings=128,
+            query_pre_attn_scalar=16, sliding_window=4,
+            sliding_window_pattern=2, layer_types=None,
+            rope_theta=1000000.0, rope_local_base_freq=10000.0,
+            tie_word_embeddings=True,
+            pad_token_id=0, bos_token_id=1, eos_token_id=2)
+        cfg._attn_implementation = "eager"
+        torch.manual_seed(3)
+        model = Gemma3ForCausalLM(cfg).eval()
+        d = tmp_path / "gemma3"
+        model.save_pretrained(d, safe_serialization=True)
+        # seq len 8 > sliding_window 4 so local windows + pattern matter
+        ids = np.array([[2, 8, 32, 64, 90, 11, 45, 7]], np.int64)
+        out_cfg = _roundtrip(model, str(d), tmp_path, ids)
+        assert out_cfg.swa_pattern == 2
+        assert out_cfg.rope_local_theta == 10000.0
+        assert out_cfg.qk_norm and out_cfg.sandwich_norm
+        assert out_cfg.sliding_window == 4
+
+    def test_incremental_decode_matches_prefill(self, tmp_path):
+        """gemma3 scan path: decode continuation == all-at-once prefill."""
+        import jax
+        from mnn_tpu.models.config import ModelConfig
+        from mnn_tpu.models.decoder import init_random_params
+
+        c = ModelConfig(
+            name="g3", vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_layers=4, num_heads=4, num_kv_heads=2, head_dim=16,
+            tie_word_embeddings=True, attention_bias=False, qk_norm=True,
+            sandwich_norm=True, mlp_act="gelu_tanh", embed_scale=True,
+            sliding_window=4, swa_pattern=2, rope_local_theta=10000.0,
+            rope_theta=1000000.0)
+        params = init_random_params(c, jax.random.PRNGKey(0), scale=0.05)
+        toks = jnp.asarray([[5, 9, 2, 7, 11, 3, 8, 1]], jnp.int32)
+        cache = kvcache.create(c.num_layers, 1, c.num_kv_heads, 32,
+                               c.head_dim, quantized=False)
+        want, _ = forward(params, c, toks, cache)
+        cache2 = kvcache.create(c.num_layers, 1, c.num_kv_heads, 32,
+                                c.head_dim, quantized=False)
+        _, cache2 = forward(params, c, toks[:, :7], cache2)
+        got, _ = forward(params, c, toks[:, 7:8], cache2)
+        rel = np.linalg.norm(np.asarray(got - want, np.float32)) / \
+            np.linalg.norm(np.asarray(want, np.float32))
+        assert rel < 5e-3, rel
+
+
 class TestGemma2Decode:
     def test_incremental_decode_matches_prefill(self):
         """Gemma's scan path with traced alternating windows must give the
