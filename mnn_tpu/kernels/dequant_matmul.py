@@ -137,9 +137,11 @@ def choose_blocks(m: int, k: int, n: int, block_size: int):
     # Large bn cuts the number of passes over x (x traffic = x_bytes * n/bn)
     # and the number of grid steps (vocab-sized N with prime factors would
     # otherwise degenerate to bn=128 and thousands of steps). For decode
-    # GEMV (m<=8) x is one vector, so the widest VMEM-fitting bn wins —
-    # measured on the Qwen2 vocab head: bn 2048 -> 8192 is 123 -> 103 us.
-    bn_cap = 4096 if m > 64 else (8192 if m <= 8 else 2048)
+    # GEMV (m<=8), however, MODERATE tiles win: re-measured on the Qwen2
+    # vocab head (896 x 151936 int4, bf16 scale planes), bn 8192/2048/512
+    # run 138/180/205 us while bn=1024 runs 61 us — small enough to
+    # double-buffer deeply, large enough to amortize per-step overhead.
+    bn_cap = 4096 if m > 64 else (1024 if m <= 8 else 2048)
     bn = min(round_up(n, 128), bn_cap)
     bk_cap = max(block_size, (3 << 20) // max(bn, 1) * 2)  # ~1.5MB packed tile
     if m <= 8:
