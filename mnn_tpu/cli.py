@@ -129,6 +129,28 @@ def cmd_bench(args):
     return results
 
 
+def cmd_download(args):
+    from mnn_tpu.convert.download import download
+
+    path = download(args.name, out=args.out)
+    print(path)
+
+
+def cmd_search(args):
+    from mnn_tpu.convert.download import search
+
+    for hit in search(args.query, limit=args.limit):
+        print(f"{hit['id']}  (downloads {hit['downloads']}, "
+              f"likes {hit['likes']})")
+
+
+def cmd_list(args):
+    from mnn_tpu.convert.download import list_local
+
+    for name in list_local():
+        print(name)
+
+
 def cmd_convert(args):
     if not (args.hf or args.gguf):
         raise SystemExit("convert: provide --hf DIR or --gguf FILE")
@@ -304,6 +326,20 @@ def main(argv=None):
     p.add_argument("--modes", default="pp:512,tg:128,pg:512+128")
     p.add_argument("--reps", type=int, default=3)
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("download",
+                       help="fetch a model from the hub (mnncli parity)")
+    p.add_argument("name", help="alias (e.g. qwen2-0.5b) or HF repo id")
+    p.add_argument("--out", help="target dir (default: model cache)")
+    p.set_defaults(fn=cmd_download)
+
+    p = sub.add_parser("search", help="search the model hub")
+    p.add_argument("query")
+    p.add_argument("--limit", type=int, default=20)
+    p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("list", help="list locally cached models")
+    p.set_defaults(fn=cmd_list)
 
     p = sub.add_parser("convert", help="convert a HF or GGUF checkpoint")
     p.add_argument("--hf", help="HF model directory")
