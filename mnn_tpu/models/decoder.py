@@ -318,9 +318,11 @@ def init_random_params(
             # packed form (quantizing random floats costs minutes of
             # dispatch/compile on the tunnel for zero benefit)
             pack = 2 if quant_bits == 4 else 1
+            # int8 directly: an int32 intermediate would spike 4x the
+            # packed bytes and OOM large-model synthetic init on chip
             packed = jax.random.randint(
-                key, (c.num_layers, k_dim // pack, n_dim), -128, 128, jnp.int32
-            ).astype(jnp.int8)
+                key, (c.num_layers, k_dim // pack, n_dim), -128, 128, jnp.int8
+            )
             qmax = (1 << quant_bits) - 1
             s = jnp.full(
                 (c.num_layers, k_dim // bs, n_dim), 2 * scale / qmax, jnp.bfloat16
@@ -350,8 +352,8 @@ def init_random_params(
         if fast:
             pack = 2 if quant_bits == 4 else 1
             packed = jax.random.randint(
-                key, (le, k_dim // pack, n_dim), -128, 128, jnp.int32
-            ).astype(jnp.int8)
+                key, (le, k_dim // pack, n_dim), -128, 128, jnp.int8
+            )
             qmax = (1 << quant_bits) - 1
             s = jnp.full((le, k_dim // bs, n_dim), 2 * scale / qmax, jnp.bfloat16)
             stacked = QuantizedLinear(
@@ -421,7 +423,7 @@ def init_random_params(
             lm_head = QuantizedLinear(
                 packed=jax.random.randint(
                     keys[5], (c.hidden_size // pack, c.vocab_size),
-                    -128, 128, jnp.int32).astype(jnp.int8),
+                    -128, 128, jnp.int8),
                 scale=s, bias=-s * (qmax / 2), out_bias=None,
                 bits=lm_head_bits, block_size=bs_h,
             )
