@@ -279,7 +279,7 @@ def cmd_serve(args):
 
     llm = _build_llm(args)
     serve(llm, host=args.host, port=args.port, batch=args.batch,
-          snapshot_path=args.snapshot)
+          snapshot_path=args.snapshot, dp=args.dp)
 
 
 def cmd_txt2img(args):
@@ -416,6 +416,9 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=9090)
     p.add_argument("--batch", type=int, default=1,
                    help=">1 enables continuous batching")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel degree (multi-host via "
+                        "MNN_TPU_COORDINATOR env; docs/multihost.md)")
     p.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)

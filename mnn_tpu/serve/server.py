@@ -245,13 +245,17 @@ def make_handler(llm, lock: threading.Lock, engine=None):
 
 
 def serve(llm, host: str = "127.0.0.1", port: int = 9090, batch: int = 1,
-          snapshot_path: str = ""):
+          snapshot_path: str = "", dp: int = 1):
     """batch > 1 enables the continuous-batching engine (multi-request).
 
     snapshot_path makes the serving loop restartable (SURVEY.md §5.3): on
     startup the engine resumes from the snapshot if present; on shutdown
     the full engine state (KV cache, sampler, in-flight requests) is
     written back, so a restarted server continues mid-decode.
+
+    dp > 1: shard the engine's batch dimension over a data-parallel mesh
+    (multi-host when launched under MNN_TPU_COORDINATOR/...: each host's
+    scheduler admits into its own rows — docs/multihost.md).
     """
     import os
 
@@ -263,19 +267,25 @@ def serve(llm, host: str = "127.0.0.1", port: int = 9090, batch: int = 1,
 
         from mnn_tpu.runtime.batch_engine import BatchEngine
 
+        mesh = None
+        if dp > 1:
+            from mnn_tpu.parallel import multihost
+
+            multihost.initialize()
+            mesh = multihost.two_level_mesh(dp=dp, tp=1)
         rt = _dc.replace(llm.rt, max_batch=batch)
         eos = getattr(llm.tokenizer, "eos_ids", set())
         if snapshot_path and os.path.exists(snapshot_path):
             engine = BatchEngine.resume(
                 snapshot_path, llm.config, llm.params, rt,
-                tokenizer=llm.tokenizer, eos_ids=eos)
+                tokenizer=llm.tokenizer, eos_ids=eos, mesh=mesh)
             n_live = sum(1 for s in engine.slots if s is not None)
             print(f"[mnn-tpu] resumed engine from {snapshot_path} "
                   f"({n_live} in-flight requests)")
         else:
             engine = BatchEngine(
                 llm.config, llm.params, rt, tokenizer=llm.tokenizer,
-                eos_ids=eos,
+                eos_ids=eos, mesh=mesh,
             )
         threading.Thread(
             target=engine.run_forever, args=(stop,), daemon=True
