@@ -318,7 +318,7 @@ def _kernel(
     q_scr,         # [BH, GP, D] f32 roped queries
     m_scr, l_scr,  # [BH, GP, 128] f32
     accA_scr,      # [BH, GP, D] f32 attention accumulator
-    att_scr,       # [B8, DQ] f32 flattened attention output
+    att_scr,       # [n_wo, B8, bkwo] f32 chunked attention output
     *,
     b, hkv, g, gp, d, h, nq, dq,
     plan: _Plan,
@@ -473,8 +473,12 @@ def _kernel(
         # 64-lane head row across DQ, mask to its block, accumulate) so the
         # scr store is full-width — no unaligned sub-row stores, and every
         # addend is offset-0 (sublane-normalizing roll before the slice).
+        # att_scr is [n_wo, B8, bkwo]: chunk-major so the wo phases index
+        # their K-chunk with a plain dynamic major-dim read.
         @pl.when(p == A0 + nkv - 1)
         def _fin():
+            n_wo_ = plan.n_wo
+            bkwo_ = plan.bkwo
             colblk = jax.lax.broadcasted_iota(jnp.int32, (1, dq), 1) // d
             for bi in range(b):
                 row = jnp.zeros((1, dq), jnp.float32)
@@ -487,62 +491,83 @@ def _kernel(
                         piece = pltpu.roll(o, (gp - r) % gp, 0)[0:1, :]
                         tiled = pltpu.repeat(piece, dq // d, 1)
                         row = row + jnp.where(colblk == hi * g + r, tiled, 0.0)
-                att_scr[bi:bi + 1, :] = row
+                for cw in range(n_wo_):
+                    att_scr[cw, bi:bi + 1, :] = \
+                        row[:, cw * bkwo_:(cw + 1) * bkwo_]
 
     # ---- output projection K-chunks + residual ------------------------------
-    for c_w in range(n_wo):
-        @pl.when(p == W0 + c_w)
-        def _wo_phase(c_w=c_w):
-            att = att_scr[...] if n_wo == 1 \
-                else att_scr[:, c_w * bkwo:(c_w + 1) * bkwo]
-            term = _qmatmul(att, wo_ref, so_ref[0, 0], bo_ref[0, 0],
-                            bits=bits, bs=bs_h, k=bkwo)
-            if c_w == 0:
-                acc_scr[...] = term
-            else:
-                acc_scr[...] = acc_scr[...] + term
+    # ONE parametric body for every chunk phase (the chunk index appears
+    # only in predicates and the att-chunk read): unrolled per-chunk copies
+    # made the kernel's code size O(n_wo + n_mlp), which at 7B dims
+    # (n_mlp=37) exploded Mosaic compile time and blew the instruction
+    # budget at runtime.
+    @pl.when(jnp.logical_and(p >= W0, p < W0 + n_wo))
+    def _wo_phase():
+        c_w = p - W0
+        if n_wo == 1:
+            att = att_scr[0]
+        else:
+            att = att_scr[c_w]        # dynamic MAJOR-dim index
+        term = _qmatmul(att, wo_ref, so_ref[0, 0], bo_ref[0, 0],
+                        bits=bits, bs=bs_h, k=bkwo)
 
-            if c_w == n_wo - 1:
-                # per-layer: o is a bf16 kernel output, then x = x + o in
-                # bf16 — round o first, then the bf16 residual sum
-                x = _bf16r(x_scr[...] + _bf16r(acc_scr[...]))
-                x_scr[...] = x
-                rn_scr[...] = _rms(x, postnorm_ref[0, 0], eps)
+        @pl.when(c_w == 0)
+        def _():
+            acc_scr[...] = term
+
+        @pl.when(c_w > 0)
+        def _():
+            acc_scr[...] = acc_scr[...] + term
+
+        @pl.when(c_w == n_wo - 1)
+        def _():
+            # per-layer: o is a bf16 kernel output, then x = x + o in
+            # bf16 — round o first, then the bf16 residual sum.
+            # (acc_scr already holds this phase's term: VMEM stores commit
+            # in program order within the kernel body.)
+            x = _bf16r(x_scr[...] + _bf16r(acc_scr[...]))
+            x_scr[...] = x
+            rn_scr[...] = _rms(x, postnorm_ref[0, 0], eps)
 
     # ---- fused MLP chunk pairs: gate/up chunk -> SwiGLU -> down chunk -------
     # wgu columns are 64-block gate/up interleaved (layers.GU_BLOCK): split
     # with aligned lane slices — Mosaic has no strided slice / pair reshape.
-    for c_m in range(n_mlp):
-        @pl.when(p == M0 + c_m)
-        def _mlp_phase(c_m=c_m):
-            rn2 = rn_scr[...]
-            part = _qmatmul(rn2, wgu_ref, sg_ref[0], bg_ref[0],
-                            bits=bits, bs=bs_h, k=h)      # [B8, 2*ci]
-            part = _bf16r(part)   # per-layer gu is a bf16 kernel output
-            # 64-lane-shifted copy so 'up' slices start 128-aligned too
-            part_s = pltpu.roll(part, 2 * ci - 64, 1)
-            gate = jnp.concatenate(
-                [part[:, kb * 128:kb * 128 + 64]
-                 for kb in range(ci // 64)], axis=1)
-            up = jnp.concatenate(
-                [part_s[:, kb * 128:kb * 128 + 64]
-                 for kb in range(ci // 64)], axis=1)
-            # per-layer swiglu: silu(gate f32) -> bf16, then a bf16 product
-            act = _bf16r(_bf16r(gate * jax.lax.logistic(gate)) * up)
-            term = _qmatmul(act, wdn_ref, sd_ref[0, 0], bd_ref[0, 0],
-                            bits=bits, bs=bs_i, k=ci)     # [B8, H]
-            if c_m == 0:
-                acc_scr[...] = term
-            else:
-                acc_scr[...] = acc_scr[...] + term
+    @pl.when(jnp.logical_and(p >= M0, p < M0 + n_mlp))
+    def _mlp_phase():
+        c_m = p - M0
+        rn2 = rn_scr[...]
+        part = _qmatmul(rn2, wgu_ref, sg_ref[0], bg_ref[0],
+                        bits=bits, bs=bs_h, k=h)      # [B8, 2*ci]
+        part = _bf16r(part)   # per-layer gu is a bf16 kernel output
+        # 64-lane-shifted copy so 'up' slices start 128-aligned too
+        part_s = pltpu.roll(part, 2 * ci - 64, 1)
+        gate = jnp.concatenate(
+            [part[:, kb * 128:kb * 128 + 64]
+             for kb in range(ci // 64)], axis=1)
+        up = jnp.concatenate(
+            [part_s[:, kb * 128:kb * 128 + 64]
+             for kb in range(ci // 64)], axis=1)
+        # per-layer swiglu: silu(gate f32) -> bf16, then a bf16 product
+        act = _bf16r(_bf16r(gate * jax.lax.logistic(gate)) * up)
+        term = _qmatmul(act, wdn_ref, sd_ref[0, 0], bd_ref[0, 0],
+                        bits=bits, bs=bs_i, k=ci)     # [B8, H]
 
-            if c_m == n_mlp - 1:
-                x = _bf16r(x_scr[...] + _bf16r(acc_scr[...]))
-                x_scr[...] = x
+        @pl.when(c_m == 0)
+        def _():
+            acc_scr[...] = term
 
-                @pl.when(l == nl - 1)
-                def _():
-                    xo_ref[...] = x
+        @pl.when(c_m > 0)
+        def _():
+            acc_scr[...] = acc_scr[...] + term
+
+        @pl.when(c_m == n_mlp - 1)
+        def _():
+            x = _bf16r(x_scr[...] + _bf16r(acc_scr[...]))
+            x_scr[...] = x
+
+            @pl.when(l == nl - 1)
+            def _():
+                xo_ref[...] = x
 
 
 def fused_decode_model(
@@ -793,7 +818,8 @@ def fused_decode_model(
                 pltpu.VMEM((b * hkv, gp, 128), jnp.float32),  # m
                 pltpu.VMEM((b * hkv, gp, 128), jnp.float32),  # l
                 pltpu.VMEM((b * hkv, gp, d), jnp.float32),  # accA
-                pltpu.VMEM((b8, dq), jnp.float32),         # att
+                pltpu.VMEM((plan.n_wo, b8, plan.bkwo),
+                           jnp.float32),                   # att (chunked)
             ],
         ),
         out_shape=out_shape,
