@@ -454,6 +454,13 @@ def _attention(
     bits: int = 8,
 ):
     b, h, t, d = q.shape
+    if bits == 3:
+        # TQ3 codebook storage: unpack once to bf16 and attend on values
+        # (the sub-byte layout is for HBM capacity, not kernel reads)
+        k_cache = kvcache.dequant_kv(k_cache, k_scale, 3)
+        v_cache = kvcache.dequant_kv(v_cache, v_scale, 3)
+        k_scale = v_scale = None
+        bits = 16
     if t == 1:
         return decode_attention(
             q[:, :, 0], k_cache, v_cache, kv_len,
@@ -529,8 +536,8 @@ def _forward_unrolled(
             new_cache = dataclasses.replace(cache, length=kv_len)
             return xh[:, None].astype(x.dtype), new_cache
 
-    fused = (t == 1 and use_pallas(interpret) and cache.bits != 4
-             and not c.kv_rotate)
+    fused = (t == 1 and use_pallas(interpret)
+             and cache.bits not in (3, 4) and not c.kv_rotate)
     if fused:
         # full-width rope phases for the fused kernel (neox halves tiled 2x)
         cos_f = jnp.concatenate([cos[:, 0], cos[:, 0]], axis=-1)  # [B, D]
@@ -574,12 +581,21 @@ def _forward_unrolled(
                 cache = kvcache.append_decode_stacked(
                     cache, i, k, v, cache.length
                 )
-                att = decode_attention(
-                    q[:, :, 0], cache.k, cache.v, kv_len,
-                    k_scale=cache.k_scale, v_scale=cache.v_scale,
-                    layer_index=i, interpret=interpret,
-                    window=c.sliding_window, sink=c.attention_sink,
-                )[:, :, None]
+                if cache.bits == 3:
+                    # TQ3 codebook storage: unpack this layer to bf16 values
+                    kf = kvcache.dequant_kv(cache.k[i], cache.k_scale[i], 3)
+                    vf = kvcache.dequant_kv(cache.v[i], cache.v_scale[i], 3)
+                    att = decode_attention(
+                        q[:, :, 0], kf, vf, kv_len, interpret=interpret,
+                        window=c.sliding_window, sink=c.attention_sink,
+                    )[:, :, None]
+                else:
+                    att = decode_attention(
+                        q[:, :, 0], cache.k, cache.v, kv_len,
+                        k_scale=cache.k_scale, v_scale=cache.v_scale,
+                        layer_index=i, interpret=interpret,
+                        window=c.sliding_window, sink=c.attention_sink,
+                    )[:, :, None]
             else:
                 cache = kvcache.append_stacked(cache, i, k, v, start)
                 att = _attention(

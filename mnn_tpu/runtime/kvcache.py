@@ -57,7 +57,9 @@ def create(
     kv_bits: int = 8,
 ) -> KVCache:
     bits = kv_bits if quantized else 16
-    d_store = head_dim // 2 if bits == 4 else head_dim
+    if bits == 3 and head_dim % 8:
+        raise ValueError("kv_bits=3 needs head_dim % 8 == 0")
+    d_store = {4: head_dim // 2, 3: head_dim * 3 // 8}.get(bits, head_dim)
     shape = (num_layers, batch, num_kv_heads, capacity, d_store)
     if quantized:
         k = jnp.zeros(shape, jnp.int8)
@@ -99,6 +101,48 @@ def quantize_kv4(x: jax.Array):
     return packed, scale
 
 
+# TQ3-class 3-bit codebook KV (reference: TurboQuant TQ3,
+# /root/reference/source/backend/cpu/compute/TurboQuant.hpp:5-24 — WHT
+# rotation + Lloyd-Max 3-bit codebook). The rotation half is kv_rotate
+# (models/layers.rotate_heads); this is the codebook half: after a WHT the
+# per-dim distribution is near-Gaussian, so the FIXED optimal (Lloyd-Max)
+# 8-level quantizer for N(0,1), scaled by the row RMS, beats uniform
+# levels at equal bit width. True 3-bit storage: 8 codes pack into 3 bytes.
+TQ3_LEVELS = jnp.asarray(
+    [-2.1519, -1.3439, -0.7560, -0.2451, 0.2451, 0.7560, 1.3439, 2.1519],
+    jnp.float32)
+
+
+def quantize_kv3(x: jax.Array):
+    """Per-(token, head) 3-bit codebook: x [..., D] -> (packed
+    [..., D*3//8] int8, scale [...])."""
+    d = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    rms = jnp.sqrt(jnp.mean(xf * xf, axis=-1))
+    scale = jnp.where(rms == 0, 1.0, rms)
+    xn = xf / scale[..., None]
+    idx = jnp.argmin(
+        jnp.abs(xn[..., None] - TQ3_LEVELS), axis=-1).astype(jnp.int32)
+    grp = idx.reshape(*idx.shape[:-1], d // 8, 8)
+    val24 = jnp.zeros(grp.shape[:-1], jnp.int32)
+    for k in range(8):
+        val24 = val24 | (grp[..., k] << (3 * k))
+    bytes3 = jnp.stack([(val24 >> (8 * j)) & 0xFF for j in range(3)], -1)
+    packed = bytes3.reshape(*idx.shape[:-1], d * 3 // 8)
+    packed = jnp.where(packed > 127, packed - 256, packed).astype(jnp.int8)
+    return packed, scale
+
+
+def unpack_kv3(packed: jax.Array) -> jax.Array:
+    """[..., D*3//8] int8 -> codebook VALUES [..., D] f32 (scale not applied)."""
+    p32 = packed.astype(jnp.int32) & 0xFF
+    grp = p32.reshape(*p32.shape[:-1], p32.shape[-1] // 3, 3)
+    val24 = grp[..., 0] | (grp[..., 1] << 8) | (grp[..., 2] << 16)
+    codes = jnp.stack([(val24 >> (3 * k)) & 0x7 for k in range(8)], -1)
+    d = codes.shape[-2] * 8
+    return TQ3_LEVELS[codes.reshape(*p32.shape[:-1], d)]
+
+
 def unpack_kv4(packed: jax.Array) -> jax.Array:
     """[..., D//2] int8 -> signed int values [..., D] f32 (scale NOT applied)."""
     p32 = packed.astype(jnp.int32)
@@ -114,11 +158,17 @@ def dequant_kv(cache_vals: jax.Array, scale: jax.Array, bits: int,
         return cache_vals.astype(dtype)
     if bits == 4:
         return (unpack_kv4(cache_vals) * scale[..., None]).astype(dtype)
+    if bits == 3:
+        return (unpack_kv3(cache_vals) * scale[..., None]).astype(dtype)
     return (cache_vals.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
 def _quantize_for(bits: int, x: jax.Array):
-    return quantize_kv4(x) if bits == 4 else quantize_kv(x)
+    if bits == 4:
+        return quantize_kv4(x)
+    if bits == 3:
+        return quantize_kv3(x)
+    return quantize_kv(x)
 
 
 def append_layer(
