@@ -52,6 +52,47 @@ class TestMoeVsTorch:
         assert agree >= 0.7, agree
 
 
+class TestQwen3MoeVsTorch:
+    def test_logits_match_qwen3_moe(self, tmp_path):
+        """Driver config 5's family: qk-norm + routed experts, no shared
+        expert, norm_topk_prob."""
+        torch = pytest.importorskip("torch")
+        from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+        from mnn_tpu.convert.checkpoint import load_checkpoint
+        from mnn_tpu.convert.hf import convert_hf
+
+        cfg = Qwen3MoeConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            moe_intermediate_size=48, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
+            decoder_sparse_step=1, mlp_only_layers=[],
+            max_position_embeddings=128, tie_word_embeddings=False,
+        )
+        torch.manual_seed(1)
+        model = Qwen3MoeForCausalLM(cfg).eval()
+        src = str(tmp_path / "hf")
+        model.save_pretrained(src, safe_serialization=True)
+        out = str(tmp_path / "conv")
+        convert_hf(src, out, bits=8, block_size=16)
+        config, params, _ = load_checkpoint(out)
+        assert config.is_moe and config.qk_norm and config.norm_topk_prob
+        assert params.layers.wgu_shared is None
+
+        ids = np.array([[5, 17, 99, 3, 42, 7, 64, 28]], np.int64)
+        with torch.no_grad():
+            want = model(torch.from_numpy(ids)).logits.float().numpy()
+        cache = kvcache.create(config.num_layers, 1, config.num_kv_heads, 16,
+                               config.head_dim, quantized=False)
+        got, _ = forward(params, config, jnp.asarray(ids, jnp.int32), cache,
+                         all_logits=True)
+        got = np.asarray(got, np.float32)
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert rel < 0.08, rel
+        agree = (got.argmax(-1) == want.argmax(-1)).mean()
+        assert agree >= 0.7, agree
+
+
 MOE_CFG = ModelConfig(
     name="tiny-moe", vocab_size=256, hidden_size=128, intermediate_size=256,
     num_layers=2, num_heads=8, num_kv_heads=4, head_dim=32,
