@@ -93,7 +93,18 @@ class _Plan:
     nkv: int
 
     @property
+    def fused_attn(self) -> bool:
+        # single-chunk qkv/kv/wo co-reside in VMEM (the planner budgets all
+        # chunks simultaneously), so the whole attention block collapses
+        # into ONE grid step: qkv -> rope/seed -> attend -> wo -> residual
+        # execute back-to-back in program order. 5 -> 3 phases/layer on the
+        # 0.5B bench (120 -> 72 grid steps/token).
+        return self.n_qkv == 1 and self.nkv == 1 and self.n_wo == 1
+
+    @property
     def phases(self) -> int:
+        if self.fused_attn:
+            return 1 + self.n_mlp
         return self.n_qkv + self.nkv + self.n_wo + self.n_mlp
 
 
@@ -331,9 +342,13 @@ def _kernel(
     n_qkv, nkv = plan.n_qkv, plan.nkv
     n_wo, n_mlp = plan.n_wo, plan.n_mlp
     bnq, bkwo, ci, bkv = plan.bnq, plan.bkwo, plan.ci, plan.bkv
-    A0 = n_qkv
-    W0 = A0 + nkv
-    M0 = W0 + n_wo
+    if plan.fused_attn:
+        A0 = W0 = 0          # same grid step as qkv: bodies run in order
+        M0 = 1
+    else:
+        A0 = n_qkv
+        W0 = A0 + nkv
+        M0 = W0 + n_wo
 
     # ---- qkv column chunks (+ rope/quant/seed on the last one) -------------
     for c_q in range(n_qkv):
@@ -623,9 +638,13 @@ def fused_decode_model(
     n_qkv, nkv, n_wo, n_mlp = plan.n_qkv, plan.nkv, plan.n_wo, plan.n_mlp
     bnq, bkwo, ci, bkv = plan.bnq, plan.bkwo, plan.ci, plan.bkv
 
-    A0 = n_qkv
-    W0 = A0 + nkv
-    M0 = W0 + n_wo
+    if plan.fused_attn:
+        A0 = W0 = 0          # same grid step as qkv: bodies run in order
+        M0 = 1
+    else:
+        A0 = n_qkv
+        W0 = A0 + nkv
+        M0 = W0 + n_wo
     P = plan.phases
 
     b8 = 8
