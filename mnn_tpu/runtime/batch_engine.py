@@ -531,7 +531,9 @@ class BatchEngine:
                 return {"rid": r.rid, "token_ids": r.token_ids,
                         "generated": r.generated,
                         "max_new_tokens": r.max_new_tokens,
-                        "status": r.status.value, "slot": r.slot}
+                        "status": r.status.value, "slot": r.slot,
+                        "logit_bias": (list(map(list, r.logit_bias))
+                                       if r.logit_bias else None)}
 
             # drain + restore the waiting queue to serialize it
             waiting = []
@@ -599,15 +601,22 @@ class BatchEngine:
         meta = _json.loads(str(z["meta"]))
 
         def mk_req(m) -> Request:
+            lb = m.get("logit_bias")
             r = Request(rid=m["rid"], token_ids=list(m["token_ids"]),
                         max_new_tokens=m["max_new_tokens"],
-                        status=Status(m["status"]), slot=m["slot"])
+                        status=Status(m["status"]), slot=m["slot"],
+                        logit_bias=tuple(
+                            (int(t), float(b)) for t, b in lb) if lb
+                        else None)
             r.generated = list(m["generated"])
             eng.requests[r.rid] = r
             return r
 
         for i, m in enumerate(meta["slots"]):
             eng.slots[i] = mk_req(m) if m is not None else None
+            # re-materialize per-slot bias rows for in-flight requests
+            if eng.slots[i] is not None and eng.slots[i].logit_bias:
+                eng._set_bias_row(i, eng.slots[i].logit_bias)
         for m in meta["waiting"]:
             eng.waiting.put(mk_req(m))
         eng._rid = itertools.count(meta["next_rid"])
