@@ -68,6 +68,9 @@ from mnn_tpu.kernels.decode_step import NEG_INF, _rms, _rope_full
 # VMEM budget for the solver: ~16MB physical minus headroom for Mosaic
 # spills, semaphores and the odd compiler-introduced copy.
 VMEM_BUDGET = 14 << 20
+# MLP runs as a manual-DMA loop when n_mlp is at most this (see
+# _Plan.phases for the measured crossover vs revolving grid phases)
+MLP_MANUAL_MAX = 8
 
 
 def _divisor_chunks(dim: int, align: int):
@@ -91,24 +94,32 @@ class _Plan:
     n_mlp: int
     bkv: int      # attention KV tile
     nkv: int
+    bnv: int = 0  # lm-head vocab-column chunk (0 = head not fused)
+    mlp_manual: bool = True  # manual-DMA MLP loop vs revolving grid phases
 
     @property
     def fused_attn(self) -> bool:
         # single-chunk qkv/kv/wo co-reside in VMEM (the planner budgets all
         # chunks simultaneously), so the whole attention block collapses
         # into ONE grid step: qkv -> rope/seed -> attend -> wo -> residual
-        # execute back-to-back in program order. 5 -> 3 phases/layer on the
-        # 0.5B bench (120 -> 72 grid steps/token).
+        # execute back-to-back in program order.
         return self.n_qkv == 1 and self.nkv == 1 and self.n_wo == 1
 
     @property
     def phases(self) -> int:
-        if self.fused_attn:
-            return 1 + self.n_mlp
-        return self.n_qkv + self.nkv + self.n_wo + self.n_mlp
+        # mlp_manual: MLP chunks run as a manual-DMA loop INSIDE the last
+        # wo phase (a revolving-buffer grid step costs ~2us fixed vs
+        # ~0.7us per manually pipelined chunk — measured on the 0.5B
+        # bench, 72 -> 25 steps/token). At large n_mlp the revolving
+        # pipeline wins (7B, n_mlp=37: manual costs ~1.6us/chunk and
+        # regressed 5242 -> 5890us/step), so deep-chunk plans keep MLP
+        # grid phases.
+        base = 1 if self.fused_attn else self.n_qkv + self.nkv + self.n_wo
+        return base + (0 if self.mlp_manual else self.n_mlp)
 
 
-def _plan(c, layers, cache, batch: int) -> Optional[_Plan]:
+def _plan(c, layers, cache, batch: int, head=None,
+          head_reuse: bool = False) -> Optional[_Plan]:
     """Solve chunk sizes under the VMEM budget; None if infeasible.
 
     Objective: MINIMIZE the total phase count (grid steps/token) subject to
@@ -155,6 +166,46 @@ def _plan(c, layers, cache, batch: int) -> Optional[_Plan]:
     if s % 1024 == 0:
         bkv_opts.insert(0, 1024)
 
+    # lm-head fusion: the head streams through 2 manually double-buffered
+    # VMEM slots inside ONE grid step (per-grid-step fixed cost ~2us would
+    # otherwise eat the head's own HBM-ideal time). When the head's quant
+    # geometry matches the layers' (same bits + block size — the common
+    # case), the head REUSES the MLP chunk slots (the head runs after the
+    # last layer has drained them), so fusing it costs only the small
+    # logits out-slots: bnv is pinned to the gu slot width 2*ci. Otherwise
+    # dedicated slots are budgeted and bnv searched.
+    vocab = c.vocab_size
+    vocab128 = vocab // 128 * 128
+    if head is not None:
+        pack_h = 2 if head.bits == 4 else 1
+        nbh = h // head.block_size
+        sb_h = sbytes(head)
+        bnv_opts = [v for v in (4096, 2048, 1024, 512, 256, 128)
+                    if v <= vocab]
+        if not bnv_opts:
+            head = None
+            head_reuse = False
+
+    def head_bnv(ci):
+        # reuse mode: bnv == the gu slot width so the slot DMAs stay
+        # contiguous (a narrower bnv in a wider slot is a strided write,
+        # measured ~4% slower on the 0.5B bench)
+        return min(2 * ci, vocab128)
+
+    def head_bytes(bnv):
+        if head is None:
+            return 0
+        out_slots = 2 * b8 * bnv * 4 + 2 * b8 * 128 * 4
+        if head_reuse:
+            # slot-reuse head costs only the small logits out-slots (~70KB)
+            # — charge nothing so the LAYER plan is identical to the
+            # no-head plan (the 2MB physical headroom above VMEM_BUDGET
+            # absorbs it; a 73KB charge measurably flipped the 7B plan)
+            return 0
+        nbh_p = round_up(nbh, 8)  # planes padded to 8-row DMA alignment
+        slot = h // pack_h * bnv + 2 * nbh_p * bnv * sb_h  # w + scale + bias
+        return 2 * slot + out_slots
+
     qkv_opts = _divisor_chunks(nq, 128) if nq % 128 == 0 else [nq]
     wo_opts = _divisor_chunks(dq, bs_h)
     # ci must divide i_dim, be a multiple of bs_i (plane4 reshape + sd/bd
@@ -192,28 +243,44 @@ def _plan(c, layers, cache, batch: int) -> Optional[_Plan]:
         outs = b8 * h * 4 + 2 * batch * hkv * 8 * d * 4 + batch * hkv * 8 * 128 * 4
         return 2 * w + scratch + 2 * outs
 
-    best = None  # (phases, vmem_total), bnq, bkwo, ci, bkv
-    for bkv in bkv_opts:
-        for bnq in qkv_opts:
-            for bkwo in wo_opts:
-                for ci in ci_opts:
-                    t = total(bnq, bkwo, ci, bkv)
-                    if t > VMEM_BUDGET:
-                        continue
-                    phases = (nq // bnq + s // bkv + dq // bkwo
-                              + i_dim // ci)
-                    # tie-break: fewer phases, then more VMEM headroom
-                    key = (phases, t)
-                    if best is None or key < best[0]:
-                        best = (key, bnq, bkwo, ci, bkv)
+    best = None  # (phases, -bnv, vmem_total), bnq, bkwo, ci, bkv, bnv
+    if head_reuse:
+        outer_bnv = [None]       # bnv derived from ci inside the loop
+    elif head is not None:
+        outer_bnv = bnv_opts
+    else:
+        outer_bnv = [0]
+    for bnv_o in outer_bnv:
+        for bkv in bkv_opts:
+            for bnq in qkv_opts:
+                for bkwo in wo_opts:
+                    for ci in ci_opts:
+                        n_mlp_ = i_dim // ci
+                        manual = n_mlp_ <= MLP_MANUAL_MAX
+                        if head_reuse and not manual:
+                            continue  # slot reuse needs the manual loop
+                        bnv = head_bnv(ci) if head_reuse else bnv_o
+                        t = total(bnq, bkwo, ci, bkv) + head_bytes(bnv)
+                        if t > VMEM_BUDGET:
+                            continue
+                        # overhead units: a grid step costs ~3x a manually
+                        # pipelined MLP chunk (measured ~2us vs ~0.7us)
+                        grid = nq // bnq + s // bkv + dq // bkwo \
+                            + (0 if manual else n_mlp_)
+                        phases = 3 * grid + (n_mlp_ if manual else 0)
+                        # tie-break: lowest overhead, then the largest
+                        # head chunk (fewer DMA turnarounds), then headroom
+                        key = (phases, -bnv, t)
+                        if best is None or key < best[0]:
+                            best = (key, bnq, bkwo, ci, bkv, bnv, manual)
     if best is None:
         return None
-    _, bnq, bkwo, ci, bkv = best
+    _, bnq, bkwo, ci, bkv, bnv, manual = best
     return _Plan(
         bnq=bnq, n_qkv=nq // bnq,
         bkwo=bkwo, n_wo=dq // bkwo,
         ci=ci, n_mlp=i_dim // ci,
-        bkv=bkv, nkv=s // bkv,
+        bkv=bkv, nkv=s // bkv, bnv=bnv, mlp_manual=manual,
     )
 
 
@@ -257,6 +324,35 @@ def supports(config, params, cache, batch: int) -> bool:
     return _plan(c, lay, cache, batch) is not None
 
 
+def supports_head(config, params) -> bool:
+    """Can the lm head + greedy argmax be fused into the kernel's last step?
+
+    Requires a quantized (int4/int8, W-A16) head with no out-bias, a
+    128-aligned vocab (whole-lane DMA tiles; the clamped-overlap tail trick
+    then needs no masking), and no logit softcap (gemma is megakernel-
+    ineligible anyway). Reference analog: the decode-side deferred-dequant
+    vocab GEMV + argmax that MNN runs as separate executions after the
+    module forward (llm.cpp sample loop, sampler.cpp:236).
+    """
+    from mnn_tpu.quant.quantize import QuantizedLinear
+
+    head = params.lm_head
+    if not isinstance(head, QuantizedLinear):
+        return False
+    if head.bits not in (4, 8) or head.act_bits != 16:
+        return False
+    if head.out_bias is not None:
+        return False
+    if head.packed.ndim != 2:
+        return False
+    c = config
+    if c.vocab_size % 128 or c.final_softcap:
+        return False
+    if c.hidden_size % head.block_size:
+        return False
+    return True
+
+
 def _bf16r(v):
     """Round f32 -> bf16 -> f32: replicate the per-layer path's op-boundary
     dtype (decoder.py keeps x/qkv/act in bf16 between kernels; the
@@ -275,12 +371,13 @@ def _dequant_block(w_ref_slice, bits, dtype=jnp.bfloat16):
     return (w32 & 0xFF).astype(dtype)
 
 
-def _qmatmul(x_f32, w_ref, s, b, *, bits, bs, k):
+def _qmatmul_rows(x_f32, read_rows, s, b, *, bits, bs, k):
     """x @ dequant(W) with per-block scale/bias on partial products.
 
-    x_f32: [M, k] f32 value; w_ref block [1, k//pack, bn]; s/b are LOADED
-    [NB, bn] plane values holding exactly this chunk's quant-block rows
-    (bf16 storage, upcast at use). Returns [M, bn] f32.
+    x_f32: [M, k] f32 value; read_rows(r0, r1) returns packed-weight rows
+    [r1-r0, bn] (from a revolving block or a manual-DMA slot); s/b are
+    LOADED [NB, bn] plane values holding exactly this chunk's quant-block
+    rows (bf16 storage, upcast at use). Returns [M, bn] f32.
     """
     nb = k // bs
     half = bs // 2
@@ -288,9 +385,9 @@ def _qmatmul(x_f32, w_ref, s, b, *, bits, bs, k):
     acc = None
     for kb in range(nb):
         if bits == 4:
-            q = _dequant_block(w_ref[0, kb * half:(kb + 1) * half, :], bits)
+            q = _dequant_block(read_rows(kb * half, (kb + 1) * half), bits)
         else:
-            q = _dequant_block(w_ref[0, kb * bs:(kb + 1) * bs, :], bits)
+            q = _dequant_block(read_rows(kb * bs, (kb + 1) * bs), bits)
         xb = x[:, kb * bs:(kb + 1) * bs]
         part = jnp.dot(xb, q, preferred_element_type=jnp.float32)
         # rowsum over the SAME bf16-rounded x the MXU dot consumes — the
@@ -303,6 +400,13 @@ def _qmatmul(x_f32, w_ref, s, b, *, bits, bs, k):
     return acc
 
 
+def _qmatmul(x_f32, w_ref, s, b, *, bits, bs, k):
+    """_qmatmul_rows over a revolving-buffer block [1, k//pack, bn]."""
+    return _qmatmul_rows(
+        x_f32, lambda r0, r1: w_ref[0, r0:r1, :], s, b, bits=bits, bs=bs,
+        k=k)
+
+
 def _kernel(
     # scalar prefetch
     lens_ref,      # SMEM [B8] int32 pre-append lengths (padded rows = 0)
@@ -311,52 +415,110 @@ def _kernel(
     cs_ref,        # [B8, 2, D] f32 full-width (cos; sin)
     wqkv_ref, sq_ref, bq_ref, qkvb_ref,   # qkv packed/scale/bias/out-bias
     wo_ref, so_ref, bo_ref,
-    wgu_ref, sg_ref, bg_ref,
-    wdn_ref, sd_ref, bd_ref,
+    gw_ref, gsb_ref,   # ANY: [L, H//pack, 2I] + [L, 2*pad8, 2I] scale||bias
+    dw_ref, dsb_ref,   # ANY: [L, n_mlp, ci//pack, H] + stacked planes
     innorm_ref, postnorm_ref,             # [1, 1, H] f32
     qkn_ref,                              # [1, 2, D] f32 (q_norm; k_norm)
     k_ref, v_ref,                         # [1, BH, bkv, D] int8/bf16
     ks_ref, vs_ref,                       # [1, BH, 1, bkv] f32 (quantized)
-    # outputs
-    xo_ref,        # [B8, H] f32
-    krow_ref, vrow_ref,                   # [1, BH, 8, D] f32
-    kvsc_ref,                             # [1, BH, 8, 128] f32 rows 0/1
-    # scratch
-    x_scr,         # [B8, H] f32 residual stream
-    rn_scr,        # [B8, H] f32 normed input (qkv phases) then MLP input
-    qkv_scr,       # [B8, NQ] f32 assembled qkv projection
-    acc_scr,       # [B8, H] f32 wo / down-proj accumulator
-    q_scr,         # [BH, GP, D] f32 roped queries
-    m_scr, l_scr,  # [BH, GP, 128] f32
-    accA_scr,      # [BH, GP, D] f32 attention accumulator
-    att_scr,       # [n_wo, B8, bkwo] f32 chunked attention output
-    *,
-    b, hkv, g, gp, d, h, nq, dq,
+    # with fuse_head, inputs continue: fnorm_ref [1, H] f32 (VMEM),
+    #   hw_ref [H//pack, V] int8 (ANY), hs_ref/hb_ref [H//bs, V] (ANY)
+    # outputs: xo_ref [B8, H] f32, krow/vrow [1, BH, 8, D] f32,
+    #   kvsc [1, BH, 8, 128] f32; fuse_head adds logits_ref [B8, V] f32
+    #   (ANY) and token_ref [B8, 128] int32
+    # scratch: x/rn/qkv/acc/q/m/l/accA/att, MLP manual-DMA slots
+    #   (gu/gs/gb/dn/ds/db + msems DMA[2,6]); fuse_head adds hw/hs/hb
+    #   double-buffer slots, lo_scr out slots, best/besti, in_sems
+    #   DMA[2,3], out_sems DMA[2]
+    *rest,
+    b, hkv, g, gp, d, h, nq, dq, nl,
     plan: _Plan,
     bits, bs_h, bs_i, has_qkv_bias, use_qk_norm,
     scale, eps, quantized, window, sink,
+    fuse_head=False, head_reuse=False, n_chunks=0, vocab=0, head_bits=4,
+    bs_head=128,
 ):
-    l = pl.program_id(0)
+    rest = list(rest)
+    if fuse_head:
+        fnorm_ref, hw_ref, hsb_ref = rest[:3]
+        rest = rest[3:]
+    xo_ref, krow_ref, vrow_ref, kvsc_ref = rest[:4]
+    rest = rest[4:]
+    if fuse_head:
+        logits_ref, token_ref = rest[:2]
+        rest = rest[2:]
+    (x_scr, rn_scr, qkv_scr, acc_scr, q_scr, m_scr, l_scr, accA_scr,
+     att_scr) = rest[:9]
+    rest = rest[9:]
+    if plan.mlp_manual:
+        gu_s, gsb_s, dn_s, dsb_s, msems = rest[:5]
+        rest = rest[5:]
+    if fuse_head and head_reuse:
+        # head streams through the (drained) MLP gu slots — see _plan
+        lo_scr, best_scr, besti_scr, out_sems = rest
+        hw_scr, hsb_scr = gu_s, gsb_s
+        in_sems = msems
+    elif fuse_head:
+        (hw_scr, hsb_scr, lo_scr, best_scr, besti_scr,
+         in_sems, out_sems) = rest
+    else:
+        assert not rest
+    # 2D grid (nl [+1 with fuse_head], P): the extra ROW is the lm-head
+    # step (runs at p == 0; other p in that row are no-ops). A flat 1D
+    # grid with l = i // P in every index map costs ~1us/step of scalar
+    # index math — measured ~900us/token at 7B's 888 grid steps.
+    l_raw = pl.program_id(0)
     p = pl.program_id(1)
-    nl = pl.num_programs(0)
+    l = jnp.minimum(l_raw, nl - 1)
+    lv = l_raw < nl          # layer-phase validity (false on the head row)
     n_qkv, nkv = plan.n_qkv, plan.nkv
     n_wo, n_mlp = plan.n_wo, plan.n_mlp
     bnq, bkwo, ci, bkv = plan.bnq, plan.bkwo, plan.ci, plan.bkv
     if plan.fused_attn:
         A0 = W0 = 0          # same grid step as qkv: bodies run in order
-        M0 = 1
     else:
         A0 = n_qkv
         W0 = A0 + nkv
-        M0 = W0 + n_wo
+
+    # MLP weights stream through manually double-buffered VMEM slots (see
+    # _mlp_block): chunk c of layer l lives in slot (l*n_mlp + c) % 2, so
+    # the parity chain is continuous across layers and the cross-layer
+    # prefetch (chunk 0 of l+1, issued during l's last chunk) lands in the
+    # free slot. Scale and bias planes are pre-stacked into ONE array per
+    # operand (rows [0, pad) = scale, [pad, 2*pad) = bias): 4 DMAs + waits
+    # per chunk instead of 6 — per-chunk fixed cost is what bounds the
+    # manual pipeline (measured ~0.7-1us per wait-round).
+    if plan.mlp_manual:
+        def mlp_dma(l_, c_, slot):
+            st = pl.multiple_of(c_ * (2 * ci), 128)
+            return (
+                pltpu.make_async_copy(
+                    gw_ref.at[l_, :, pl.ds(st, 2 * ci)], gu_s.at[slot],
+                    msems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    gsb_ref.at[l_, :, pl.ds(st, 2 * ci)], gsb_s.at[slot],
+                    msems.at[slot, 1]),
+                pltpu.make_async_copy(
+                    dw_ref.at[l_, c_], dn_s.at[slot], msems.at[slot, 2]),
+                pltpu.make_async_copy(
+                    dsb_ref.at[l_, c_], dsb_s.at[slot], msems.at[slot, 3]),
+            )
 
     # ---- qkv column chunks (+ rope/quant/seed on the last one) -------------
     for c_q in range(n_qkv):
-        @pl.when(p == c_q)
+        @pl.when(jnp.logical_and(p == c_q, lv))
         def _qkv_phase(c_q=c_q):
-            @pl.when(jnp.logical_and(l == 0, p == 0))
+            @pl.when(jnp.logical_and(l_raw == 0, p == 0))
             def _():
                 x_scr[...] = x_ref[...]
+
+            if plan.mlp_manual:
+                @pl.when(jnp.logical_and(l_raw == 0, p == 0))
+                def _():
+                    # warm-up: layer 0's first MLP chunk pair starts
+                    # streaming now, overlapping the qkv/attention compute
+                    for dma in mlp_dma(0, 0, 0):
+                        dma.start()
 
             @pl.when(p == 0)
             def _():
@@ -373,7 +535,7 @@ def _kernel(
             else:
                 qkv_scr[:, c_q * bnq:(c_q + 1) * bnq] = part
 
-    @pl.when(p == n_qkv - 1)
+    @pl.when(jnp.logical_and(p == n_qkv - 1, lv))
     def _rope_seed_phase():
         qkv = qkv_scr[...]
         # per (batch, kv-head): extract rows, rope, qk-norm, quantize, seed
@@ -436,7 +598,7 @@ def _kernel(
                 accA_scr[bh] = jnp.broadcast_to(v_att, (gp, d))
 
     # ---- attention over cache tiles -----------------------------------------
-    @pl.when(jnp.logical_and(p >= A0, p < A0 + nkv))
+    @pl.when(jnp.logical_and(jnp.logical_and(p >= A0, p < A0 + nkv), lv))
     def _att_phase():
         j = p - A0
         kv_start = j * bkv
@@ -516,7 +678,7 @@ def _kernel(
     # made the kernel's code size O(n_wo + n_mlp), which at 7B dims
     # (n_mlp=37) exploded Mosaic compile time and blew the instruction
     # budget at runtime.
-    @pl.when(jnp.logical_and(p >= W0, p < W0 + n_wo))
+    @pl.when(jnp.logical_and(jnp.logical_and(p >= W0, p < W0 + n_wo), lv))
     def _wo_phase():
         c_w = p - W0
         if n_wo == 1:
@@ -545,14 +707,26 @@ def _kernel(
             rn_scr[...] = _rms(x, postnorm_ref[0, 0], eps)
 
     # ---- fused MLP chunk pairs: gate/up chunk -> SwiGLU -> down chunk -------
-    # wgu columns are 64-block gate/up interleaved (layers.GU_BLOCK): split
-    # with aligned lane slices — Mosaic has no strided slice / pair reshape.
-    @pl.when(jnp.logical_and(p >= M0, p < M0 + n_mlp))
-    def _mlp_phase():
-        c_m = p - M0
+    # Two modes (plan.mlp_manual, measured crossover in _Plan.phases):
+    # shallow-chunk plans run a manually double-buffered DMA loop INSIDE
+    # the last wo grid step (program order after _wo_phase's
+    # residual+postnorm); deep-chunk plans keep one revolving-buffer grid
+    # phase per chunk. wgu columns are 64-block gate/up interleaved
+    # (layers.GU_BLOCK): split with aligned lane slices — Mosaic has no
+    # strided slice / pair reshape.
+    def _mlp_math(read_gu, sb_g, read_dn, sb_d):
+        """One chunk pair: gate/up matmul -> swiglu -> down matmul term.
+
+        sb_* stack scale rows then bias rows; the split offset is padded
+        to 8 rows only in manual mode (a DMA-slice alignment requirement
+        that the revolving pipeline does not have — and padded rows there
+        would be wasted HBM traffic)."""
+        pad8 = plan.mlp_manual
+        nbp_h = round_up(h // bs_h, 8) if pad8 else h // bs_h
+        nbp_i = round_up(ci // bs_i, 8) if pad8 else ci // bs_i
         rn2 = rn_scr[...]
-        part = _qmatmul(rn2, wgu_ref, sg_ref[0], bg_ref[0],
-                        bits=bits, bs=bs_h, k=h)      # [B8, 2*ci]
+        part = _qmatmul_rows(rn2, read_gu, sb_g[:nbp_h], sb_g[nbp_h:],
+                             bits=bits, bs=bs_h, k=h)
         part = _bf16r(part)   # per-layer gu is a bf16 kernel output
         # 64-lane-shifted copy so 'up' slices start 128-aligned too
         part_s = pltpu.roll(part, 2 * ci - 64, 1)
@@ -564,25 +738,171 @@ def _kernel(
              for kb in range(ci // 64)], axis=1)
         # per-layer swiglu: silu(gate f32) -> bf16, then a bf16 product
         act = _bf16r(_bf16r(gate * jax.lax.logistic(gate)) * up)
-        term = _qmatmul(act, wdn_ref, sd_ref[0, 0], bd_ref[0, 0],
-                        bits=bits, bs=bs_i, k=ci)     # [B8, H]
+        return _qmatmul_rows(act, read_dn, sb_d[:nbp_i], sb_d[nbp_i:],
+                             bits=bits, bs=bs_i, k=ci)
 
-        @pl.when(c_m == 0)
-        def _():
-            acc_scr[...] = term
+    if not plan.mlp_manual:
+        M0 = W0 + n_wo
 
-        @pl.when(c_m > 0)
-        def _():
-            acc_scr[...] = acc_scr[...] + term
+        @pl.when(jnp.logical_and(
+                jnp.logical_and(p >= M0, p < M0 + n_mlp), lv))
+        def _mlp_phase():
+            c_m = p - M0
+            term = _mlp_math(
+                lambda r0, r1: gw_ref[0, r0:r1, :],
+                gsb_ref[0], lambda r0, r1: dw_ref[0, 0, r0:r1, :],
+                dsb_ref[0, 0])
 
-        @pl.when(c_m == n_mlp - 1)
-        def _():
+            @pl.when(c_m == 0)
+            def _():
+                acc_scr[...] = term
+
+            @pl.when(c_m > 0)
+            def _():
+                acc_scr[...] = acc_scr[...] + term
+
+            @pl.when(c_m == n_mlp - 1)
+            def _():
+                x = _bf16r(x_scr[...] + _bf16r(acc_scr[...]))
+                x_scr[...] = x
+
+                @pl.when(l == nl - 1)
+                def _():
+                    xo_ref[...] = x
+
+    if plan.mlp_manual:
+        @pl.when(jnp.logical_and(p == W0 + n_wo - 1, lv))
+        def _mlp_block():
+            def chunk(c_m, _):
+                slot = jax.lax.rem(l * n_mlp + c_m, 2)
+
+                @pl.when(c_m + 1 < n_mlp)
+                def _():
+                    for dma in mlp_dma(l, c_m + 1, 1 - slot):
+                        dma.start()
+
+                @pl.when(jnp.logical_and(c_m + 1 == n_mlp, l + 1 < nl))
+                def _():
+                    for dma in mlp_dma(l + 1, 0, 1 - slot):
+                        dma.start()
+
+                for dma in mlp_dma(l, c_m, slot):
+                    dma.wait()
+
+                term = _mlp_math(
+                    lambda r0, r1: gu_s[slot, r0:r1, :], gsb_s[slot],
+                    lambda r0, r1: dn_s[slot, r0:r1, :], dsb_s[slot])
+
+                @pl.when(c_m == 0)
+                def _():
+                    acc_scr[...] = term
+
+                @pl.when(c_m > 0)
+                def _():
+                    acc_scr[...] = acc_scr[...] + term
+
+                return 0
+
+            jax.lax.fori_loop(0, n_mlp, chunk, 0)
             x = _bf16r(x_scr[...] + _bf16r(acc_scr[...]))
             x_scr[...] = x
 
             @pl.when(l == nl - 1)
             def _():
                 xo_ref[...] = x
+
+    # ---- fused lm head + greedy argmax (one extra grid step) ---------------
+    # The head streams through 2 manually double-buffered VMEM slots inside
+    # THIS single step: a revolving-buffer grid phase per vocab chunk would
+    # pay the ~2us fixed per-step cost n_chunks times (comparable to the
+    # head's entire HBM-ideal read time). Logits are written out chunkwise
+    # via async copies; a running (max, argmax) pair lives in VMEM so the
+    # greedy token needs no XLA pass over the 150k-logit row afterwards.
+    if fuse_head:
+        bnv = plan.bnv
+        pack_h = 2 if head_bits == 4 else 1
+        nbh = h // bs_head
+        half_h = bs_head // 2
+
+        def dma_in(c_i, slot):
+            st = pl.multiple_of(jnp.minimum(c_i * bnv, vocab - bnv), 128)
+            # dst sliced to bnv columns: in slot-reuse mode the gu slots
+            # can be wider than the head chunk (width 2*ci vs bnv)
+            return (
+                pltpu.make_async_copy(
+                    hw_ref.at[:, pl.ds(st, bnv)],
+                    hw_scr.at[slot, :, pl.ds(0, bnv)],
+                    in_sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    hsb_ref.at[:, pl.ds(st, bnv)],
+                    hsb_scr.at[slot, :, pl.ds(0, bnv)],
+                    in_sems.at[slot, 1]),
+            )
+
+        def dma_out(c_i, slot):
+            st = pl.multiple_of(jnp.minimum(c_i * bnv, vocab - bnv), 128)
+            return pltpu.make_async_copy(
+                lo_scr.at[slot], logits_ref.at[:, pl.ds(st, bnv)],
+                out_sems.at[slot])
+
+        @pl.when(jnp.logical_and(l_raw == nl, p == 0))
+        def _head_phase():
+            for dma in dma_in(0, 0):
+                dma.start()
+            rn_scr[...] = _rms(x_scr[...], fnorm_ref[0:1, :], eps)
+            best_scr[...] = jnp.full((x_scr.shape[0], 128), NEG_INF,
+                                     jnp.float32)
+            besti_scr[...] = jnp.zeros((x_scr.shape[0], 128), jnp.int32)
+
+            def chunk_body(c_i, _):
+                slot = jax.lax.rem(c_i, 2)
+
+                @pl.when(c_i + 1 < n_chunks)
+                def _():
+                    for dma in dma_in(c_i + 1, 1 - slot):
+                        dma.start()
+
+                for dma in dma_in(c_i, slot):
+                    dma.wait()
+                st = jnp.minimum(c_i * bnv, vocab - bnv)
+                nbh_p = round_up(nbh, 8)
+                hsb = hsb_scr[slot]
+                acc = _qmatmul_rows(
+                    rn_scr[...],
+                    lambda r0, r1: hw_scr[slot, r0:r1, :bnv],
+                    hsb[:nbh_p, :bnv], hsb[nbh_p:, :bnv],
+                    bits=head_bits, bs=bs_head, k=h)
+
+                # logits out: the slot's previous DMA (chunk c_i-2) must have
+                # drained before overwriting its buffer
+                @pl.when(c_i >= 2)
+                def _():
+                    dma_out(c_i - 2, slot).wait()
+
+                lo_scr[slot] = acc
+                dma_out(c_i, slot).start()
+
+                b8_ = acc.shape[0]
+                m_c = jnp.max(acc, axis=1, keepdims=True)          # [B8, 1]
+                col = st + jax.lax.broadcasted_iota(
+                    jnp.int32, (b8_, bnv), 1)
+                idx_c = jnp.min(
+                    jnp.where(acc == m_c, col, jnp.int32(2 ** 30)),
+                    axis=1, keepdims=True)
+                upd = m_c > best_scr[:, 0:1]                       # strict >
+                best_scr[...] = jnp.where(
+                    upd, jnp.broadcast_to(m_c, (b8_, 128)), best_scr[...])
+                besti_scr[...] = jnp.where(
+                    upd, jnp.broadcast_to(idx_c, (b8_, 128)),
+                    besti_scr[...])
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+            for back in (2, 1):
+                c_i = n_chunks - back
+                if c_i >= 0:
+                    dma_out(c_i, c_i % 2).wait()
+            token_ref[...] = besti_scr[...]
 
 
 def fused_decode_model(
@@ -598,12 +918,18 @@ def fused_decode_model(
     *,
     config,
     interpret: bool = False,
+    head=None,                 # QuantizedLinear [hidden, vocab] to fuse
+    final_norm: Optional[jax.Array] = None,  # [hidden] (required with head)
 ):
     """Run all decoder layers for one decode position in one kernel.
 
     Returns (x_out [B, H] f32, k_rows [L, B, Hkv, 1, D] f32,
     v_rows, k_sc [L, B, Hkv, 1] | None, v_sc): the caller scatters the rows
-    into the cache at each sequence's length.
+    into the cache at each sequence's length. With `head` (gate:
+    supports_head), two more trailing results: (logits [B, vocab] f32,
+    token [B] int32 greedy argmax) — the final-norm + lm-head GEMV + argmax
+    run inside the kernel's last grid step, so a greedy decode step leaves
+    the kernel with the next token already chosen.
     """
     c = config
     b = x.shape[0]
@@ -630,21 +956,47 @@ def fused_decode_model(
         capacity: int
         bits: int
 
-    plan = _plan(c, layers,
-                 _CacheView(capacity=s, bits=8 if quantized else 16), b)
-    if plan is None:
+    cview = _CacheView(capacity=s, bits=8 if quantized else 16)
+    plan0 = _plan(c, layers, cview, b)
+    if plan0 is None:
         raise ValueError("megakernel: no VMEM-feasible chunk plan "
                          "(supports() should have gated this config)")
+    plan = plan0
+    head_reuse = False
+    if head is not None:
+        # Prefer DEDICATED head slots (exact-width buffers -> contiguous
+        # slot DMAs, measured faster) but only when they fit WITHOUT
+        # degrading the layer plan; else REUSE the drained MLP gu slots
+        # (costs ~70KB, layer plan identical to plan0); else drop fusion.
+        reusable = (head.bits == layers.wqkv.bits
+                    and head.block_size == bs_h
+                    and head.scale.dtype == layers.wgu.scale.dtype
+                    and head.bias.dtype == layers.wgu.bias.dtype)
+        plan_d = _plan(c, layers, cview, b, head=head)
+        if (plan_d is not None and plan_d.bnv
+                and plan_d.phases == plan0.phases
+                and plan_d.n_mlp == plan0.n_mlp
+                and plan_d.mlp_manual == plan0.mlp_manual):
+            plan = plan_d
+        elif reusable:
+            plan = _plan(c, layers, cview, b, head=head, head_reuse=True)
+            head_reuse = plan is not None and plan.bnv > 0
+            if plan is None:
+                plan = plan0
+                head = None
+        else:
+            head = None
+    fuse_head = head is not None
+    if fuse_head and final_norm is None:
+        raise ValueError("head fusion requires final_norm")
     n_qkv, nkv, n_wo, n_mlp = plan.n_qkv, plan.nkv, plan.n_wo, plan.n_mlp
     bnq, bkwo, ci, bkv = plan.bnq, plan.bkwo, plan.ci, plan.bkv
 
     if plan.fused_attn:
         A0 = W0 = 0          # same grid step as qkv: bodies run in order
-        M0 = 1
     else:
         A0 = n_qkv
         W0 = A0 + nkv
-        M0 = W0 + n_wo
     P = plan.phases
 
     b8 = 8
@@ -680,10 +1032,33 @@ def fused_decode_model(
     bq = plane(lay.wqkv.bias, h, bs_h)
     so = plane4(lay.wo.scale, dq, bs_h, bkwo)
     bo = plane4(lay.wo.bias, dq, bs_h, bkwo)
-    sg = plane(lay.wgu.scale, h, bs_h)
-    bg = plane(lay.wgu.bias, h, bs_h)
-    sd = plane4(lay.wdown.scale, i_dim, bs_i, ci)
-    bd = plane4(lay.wdown.bias, i_dim, bs_i, ci)
+    # MLP planes feed MANUAL DMAs (not revolving blocks): slice shapes must
+    # be 8-row aligned in the sublane dim, so pad the row dims up front
+    # (loop-invariant — XLA hoists the pads out of the decode scan)
+    nb_h_pad = round_up(h // bs_h, 8)
+    nb_ci = ci // bs_i
+    nb_ci_pad = round_up(nb_ci, 8)
+
+    def pad_rows(a, rows, dim):
+        if a.shape[dim] == rows:
+            return a
+        widths = [(0, 0)] * a.ndim
+        widths[dim] = (0, rows - a.shape[dim])
+        return jnp.pad(a, widths)
+
+    gr = nb_h_pad if plan.mlp_manual else h // bs_h
+    dr = nb_ci_pad if plan.mlp_manual else nb_ci
+    gsb = jnp.concatenate([
+        pad_rows(plane(lay.wgu.scale, h, bs_h), gr, 1),
+        pad_rows(plane(lay.wgu.bias.astype(lay.wgu.scale.dtype), h, bs_h),
+                 gr, 1),
+    ], axis=1)                      # [L, 2*rows, 2I] scale||bias
+    dsb = jnp.concatenate([
+        pad_rows(plane4(lay.wdown.scale, i_dim, bs_i, ci), dr, 2),
+        pad_rows(plane4(lay.wdown.bias.astype(lay.wdown.scale.dtype),
+                        i_dim, bs_i, ci), dr, 2),
+    ], axis=2)                      # [L, n_mlp, 2*rows, H]
+    dw4 = lay.wdown.packed.reshape(nl, n_mlp, ci // pack, h)
     if has_qkv_bias:
         qkvb = lay.wqkv.out_bias.reshape(nl, 1, nq)
     else:
@@ -706,29 +1081,42 @@ def fused_decode_model(
         vs4 = jnp.zeros((1, b * hkv, 1, 128), jnp.float32)
 
     # ---- staged index maps (fetch one step before the consuming phase) ----
-    # Chunked operands clamp their chunk index into the phase range, so the
-    # next chunk's DMA is issued during the previous phase and the first
-    # chunk of layer l+1 is issued during layer l's last phase.
+    # 2D grid (layer row, phase): chunked operands clamp their chunk index
+    # into the phase range, so the next chunk's DMA is issued during the
+    # previous phase and the first chunk of layer l+1 is issued during
+    # layer l's last phase. The head row (l_ == nl, fuse_head only) clamps
+    # everything (no new layer fetches).
+    def _cl(l_):
+        return jnp.minimum(l_, nl - 1)
+
     def at_qkv(l_, p_, L):
         ch = jnp.clip(p_, 0, n_qkv - 1)
-        return (l_, 0, ch)
+        return (_cl(l_), 0, ch)
 
     def at_qkvb(l_, p_, L):
-        return (l_ if has_qkv_bias else 0, 0, 0)
+        return (_cl(l_) if has_qkv_bias else 0, 0, 0)
+
+    def _wo_lc(l_, p_):
+        l_ = _cl(l_)
+        in_w = jnp.logical_and(p_ >= W0, p_ < W0 + n_wo)
+        lw = jnp.where(p_ >= W0, l_, jnp.maximum(l_ - 1, 0))
+        ch = jnp.where(in_w, jnp.clip(p_ - W0, 0, n_wo - 1), n_wo - 1)
+        return lw, ch
 
     def at_wo(l_, p_, L):
-        lw = jnp.where(p_ >= W0, l_, jnp.maximum(l_ - 1, 0))
-        ch = jnp.where(p_ >= W0, jnp.clip(p_ - W0, 0, n_wo - 1), n_wo - 1)
+        lw, ch = _wo_lc(l_, p_)
         return (lw, ch, 0)
 
     def at_wo_sc(l_, p_, L):
-        lw = jnp.where(p_ >= W0, l_, jnp.maximum(l_ - 1, 0))
-        ch = jnp.where(p_ >= W0, jnp.clip(p_ - W0, 0, n_wo - 1), n_wo - 1)
+        lw, ch = _wo_lc(l_, p_)
         return (lw, ch, 0, 0)
 
+    M0 = W0 + n_wo   # first revolving MLP phase (non-manual plans)
+
     def mlp_chunk(l_, p_):
-        in_phase = p_ >= M0
-        lw = jnp.where(in_phase, l_, jnp.maximum(l_ - 1, 0))
+        l_ = _cl(l_)
+        in_phase = jnp.logical_and(p_ >= M0, p_ < M0 + n_mlp)
+        lw = jnp.where(p_ >= M0, l_, jnp.maximum(l_ - 1, 0))
         ch = jnp.where(in_phase, jnp.clip(p_ - M0, 0, n_mlp - 1), n_mlp - 1)
         return lw, ch
 
@@ -736,15 +1124,12 @@ def fused_decode_model(
         lw, ch = mlp_chunk(l_, p_)
         return (lw, 0, ch)
 
-    def at_dn(l_, p_, L):
-        lw, ch = mlp_chunk(l_, p_)
-        return (lw, ch, 0)
-
-    def at_dn_sc(l_, p_, L):
+    def at_dn4(l_, p_, L):
         lw, ch = mlp_chunk(l_, p_)
         return (lw, ch, 0, 0)
 
     def kv_tile(l_, p_):
+        l_ = _cl(l_)
         in_phase = jnp.logical_and(p_ >= A0, p_ < A0 + nkv)
         lw = jnp.where(p_ >= A0, l_, jnp.maximum(l_ - 1, 0))
         t = jnp.where(in_phase, jnp.clip(p_ - A0, 0, nkv - 1), nkv - 1)
@@ -759,10 +1144,10 @@ def fused_decode_model(
         return ((lw, 0, 0, t) if quantized else (0, 0, 0, 0))
 
     def at_norm(l_, p_, L):
-        return (l_, 0, 0)
+        return (_cl(l_), 0, 0)
 
     def at_qkn(l_, p_, L):
-        return (l_ if use_qk_norm else 0, 0, 0)
+        return (_cl(l_) if use_qk_norm else 0, 0, 0)
 
     def const2(l_, p_, L):
         return (0, 0)
@@ -770,13 +1155,19 @@ def fused_decode_model(
     def const3(l_, p_, L):
         return (0, 0, 0)
 
+    vocab = c.vocab_size
+    n_chunks = -(-vocab // plan.bnv) if fuse_head else 0
     kernel = functools.partial(
         _kernel,
-        b=b, hkv=hkv, g=g, gp=gp, d=d, h=h, nq=nq, dq=dq,
+        b=b, hkv=hkv, g=g, gp=gp, d=d, h=h, nq=nq, dq=dq, nl=nl,
         plan=plan, bits=bits, bs_h=bs_h, bs_i=bs_i,
         has_qkv_bias=has_qkv_bias, use_qk_norm=use_qk_norm,
         scale=sm_scale, eps=c.rms_norm_eps, quantized=quantized,
         window=c.sliding_window, sink=c.attention_sink,
+        fuse_head=fuse_head, head_reuse=head_reuse, n_chunks=n_chunks,
+        vocab=vocab,
+        head_bits=head.bits if fuse_head else 4,
+        bs_head=head.block_size if fuse_head else 128,
     )
 
     nb_h = h // bs_h
@@ -790,12 +1181,17 @@ def fused_decode_model(
         pl.BlockSpec((1, bkwo // pack, h), at_wo),          # wo chunk
         pl.BlockSpec((1, 1, bkwo // bs_h, h), at_wo_sc),    # so
         pl.BlockSpec((1, 1, bkwo // bs_h, h), at_wo_sc),    # bo
+    ] + ([
+        pl.BlockSpec(memory_space=pltpu.ANY),               # wgu packed
+        pl.BlockSpec(memory_space=pltpu.ANY),               # gsb planes
+        pl.BlockSpec(memory_space=pltpu.ANY),               # wdown packed 4D
+        pl.BlockSpec(memory_space=pltpu.ANY),               # dsb planes
+    ] if plan.mlp_manual else [
         pl.BlockSpec((1, h // pack, 2 * ci), at_gu),        # wgu chunk
-        pl.BlockSpec((1, nb_h, 2 * ci), at_gu),             # sg
-        pl.BlockSpec((1, nb_h, 2 * ci), at_gu),             # bg
-        pl.BlockSpec((1, ci // pack, h), at_dn),            # wdown chunk
-        pl.BlockSpec((1, 1, ci // bs_i, h), at_dn_sc),      # sd
-        pl.BlockSpec((1, 1, ci // bs_i, h), at_dn_sc),      # bd
+        pl.BlockSpec((1, 2 * (h // bs_h), 2 * ci), at_gu),  # gsb chunk
+        pl.BlockSpec((1, 1, ci // pack, h), at_dn4),        # wdown chunk
+        pl.BlockSpec((1, 1, 2 * nb_ci, h), at_dn4),         # dsb chunk
+    ]) + [
         pl.BlockSpec((1, 1, h), at_norm),                   # input_norm
         pl.BlockSpec((1, 1, h), at_norm),                   # post_norm
         pl.BlockSpec((1, 2, d), at_qkn),                    # qk norms
@@ -813,42 +1209,101 @@ def fused_decode_model(
         jax.ShapeDtypeStruct((nl, b * hkv, 8, d), jnp.float32),
         jax.ShapeDtypeStruct((nl, b * hkv, 8, 128), jnp.float32),
     ]
-    row_spec = pl.BlockSpec((1, b * hkv, 8, d), lambda l_, p_, L: (l_, 0, 0, 0))
+    def at_l4(l_, p_, L):
+        return (_cl(l_), 0, 0, 0)
+
+    row_spec = pl.BlockSpec((1, b * hkv, 8, d), at_l4)
     out_specs = [
         pl.BlockSpec((b8, h), const2),
         row_spec, row_spec,
-        pl.BlockSpec((1, b * hkv, 8, 128), lambda l_, p_, L: (l_, 0, 0, 0)),
+        pl.BlockSpec((1, b * hkv, 8, 128), at_l4),
     ]
+    scratch = [
+        pltpu.VMEM((b8, h), jnp.float32),          # x
+        pltpu.VMEM((b8, h), jnp.float32),          # rn
+        pltpu.VMEM((b8, nq), jnp.float32),         # qkv
+        pltpu.VMEM((b8, h), jnp.float32),          # acc
+        pltpu.VMEM((b * hkv, gp, d), jnp.float32),  # q
+        pltpu.VMEM((b * hkv, gp, 128), jnp.float32),  # m
+        pltpu.VMEM((b * hkv, gp, 128), jnp.float32),  # l
+        pltpu.VMEM((b * hkv, gp, d), jnp.float32),  # accA
+        pltpu.VMEM((plan.n_wo, b8, plan.bkwo),
+                   jnp.float32),                   # att (chunked)
+    ]
+    if plan.mlp_manual:
+        scratch += [
+            # MLP manual-DMA double-buffer slots + semaphores
+            pltpu.VMEM((2, h // pack, 2 * ci), jnp.int8),        # gu slots
+            pltpu.VMEM((2, 2 * nb_h_pad, 2 * ci), lay.wgu.scale.dtype),
+            pltpu.VMEM((2, ci // pack, h), jnp.int8),            # dn slots
+            pltpu.VMEM((2, 2 * nb_ci_pad, h), lay.wdown.scale.dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ]
+    head_args = ()
+    if fuse_head:
+        pack_h = 2 if head.bits == 4 else 1
+        nbh = h // head.block_size
+        # Mosaic DMA slices must be 8-row aligned in the sublane dim: pad
+        # the scale/bias planes to a multiple of 8 rows (loop-invariant —
+        # XLA hoists the pad out of the decode scan, so it costs once)
+        nbh_pad = round_up(nbh, 8)
+        hsb_in = jnp.concatenate([
+            pad_rows(head.scale, nbh_pad, 0),
+            pad_rows(head.bias.astype(head.scale.dtype), nbh_pad, 0),
+        ], axis=0)                  # [2*pad8, V] scale||bias
+        in_specs += [
+            pl.BlockSpec((1, h), const2),                    # final_norm
+            pl.BlockSpec(memory_space=pltpu.ANY),            # head packed
+            pl.BlockSpec(memory_space=pltpu.ANY),            # head planes
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((b8, vocab), jnp.float32),  # logits
+            jax.ShapeDtypeStruct((b8, 128), jnp.int32),      # greedy token
+        ]
+        out_specs += [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((b8, 128), const2),
+        ]
+        if not head_reuse:
+            scratch += [
+                pltpu.VMEM((2, h // pack_h, plan.bnv), jnp.int8),
+                pltpu.VMEM((2, 2 * nbh_pad, plan.bnv), head.scale.dtype),
+            ]
+        scratch += [
+            pltpu.VMEM((2, b8, plan.bnv), jnp.float32),            # lo slots
+            pltpu.VMEM((b8, 128), jnp.float32),                    # best
+            pltpu.VMEM((b8, 128), jnp.int32),                      # besti
+        ]
+        if not head_reuse:
+            scratch += [pltpu.SemaphoreType.DMA((2, 2))]
+        scratch += [pltpu.SemaphoreType.DMA((2,))]
+        head_args = (
+            final_norm.astype(jnp.float32).reshape(1, h),
+            head.packed, hsb_in,
+        )
 
     two_i = 2 * i_dim
+    head_flops = 2 * h * vocab if fuse_head else 0
+    head_bytes_ = (h * vocab // (2 if fuse_head and head.bits == 4 else 1)
+                   if fuse_head else 0)
     outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nl, P),
+            grid=(nl + (1 if fuse_head else 0), P),
             in_specs=in_specs,
             out_specs=out_specs,
-            scratch_shapes=[
-                pltpu.VMEM((b8, h), jnp.float32),          # x
-                pltpu.VMEM((b8, h), jnp.float32),          # rn
-                pltpu.VMEM((b8, nq), jnp.float32),         # qkv
-                pltpu.VMEM((b8, h), jnp.float32),          # acc
-                pltpu.VMEM((b * hkv, gp, d), jnp.float32),  # q
-                pltpu.VMEM((b * hkv, gp, 128), jnp.float32),  # m
-                pltpu.VMEM((b * hkv, gp, 128), jnp.float32),  # l
-                pltpu.VMEM((b * hkv, gp, d), jnp.float32),  # accA
-                pltpu.VMEM((plan.n_wo, b8, plan.bkwo),
-                           jnp.float32),                   # att (chunked)
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * nl * (h * nq + dq * h + h * two_i + i_dim * h),
+            flops=2 * nl * (h * nq + dq * h + h * two_i + i_dim * h)
+            + head_flops,
             bytes_accessed=nl * (h * nq + dq * h + h * two_i + i_dim * h)
-            // pack + nl * 2 * b * hkv * s * d,
+            // pack + nl * 2 * b * hkv * s * d + head_bytes_,
             transcendentals=nl * b * hkv * s,
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
@@ -856,10 +1311,11 @@ def fused_decode_model(
         lens, xp, cs,
         lay.wqkv.packed, sq, bq, qkvb,
         lay.wo.packed, so, bo,
-        lay.wgu.packed, sg, bg,
-        lay.wdown.packed, sd, bd,
+        lay.wgu.packed, gsb,
+        dw4, dsb,
         innorm, postnorm, qkn,
         k4, v4, ks4, vs4,
+        *head_args,
     )
 
     x_out = outs[0][:b]
@@ -868,8 +1324,13 @@ def fused_decode_model(
     if quantized:
         k_sc = outs[3][:, :, 0, 0].reshape(nl, b, hkv, 1)
         v_sc = outs[3][:, :, 1, 0].reshape(nl, b, hkv, 1)
-        return x_out, k_rows, v_rows, k_sc, v_sc
-    return x_out, k_rows, v_rows, None, None
+    else:
+        k_sc = v_sc = None
+    if fuse_head:
+        logits = outs[4][:b]
+        token = outs[5][:b, 0]
+        return x_out, k_rows, v_rows, k_sc, v_sc, logits, token
+    return x_out, k_rows, v_rows, k_sc, v_sc
 
 
 def scatter_rows(cache, k_rows, v_rows, k_sc, v_sc, lengths):

@@ -484,6 +484,7 @@ def _attention(
 def _forward_unrolled(
     params, c, x, cache, cos, sin, start, kv_len, b, t,
     *, lora, tp_axis, interpret, qkv_split, megakernel=None,
+    fuse_head=False,
 ):
     """Unrolled layer loop over [L, ...]-stacked weights and KV cache.
 
@@ -525,16 +526,25 @@ def _forward_unrolled(
         if eligible:
             cos_f = jnp.concatenate([cos[:, 0], cos[:, 0]], axis=-1)
             sin_f = jnp.concatenate([sin[:, 0], sin[:, 0]], axis=-1)
-            xh, k_rows, v_rows, k_sc, v_sc = decode_model.fused_decode_model(
+            head = (params.lm_head
+                    if fuse_head and decode_model.supports_head(c, params)
+                    else None)
+            outs = decode_model.fused_decode_model(
                 x[:, 0], layers, cache.k, cache.v, cache.k_scale,
                 cache.v_scale, cache.length, cos_f, sin_f, config=c,
                 interpret=bool(interpret),
+                head=head, final_norm=params.final_norm,
             )
+            if len(outs) == 7:
+                xh, k_rows, v_rows, k_sc, v_sc, logits, token = outs
+            else:
+                xh, k_rows, v_rows, k_sc, v_sc = outs
+                logits = token = None
             cache = decode_model.scatter_rows(
                 cache, k_rows, v_rows, k_sc, v_sc, cache.length
             )
             new_cache = dataclasses.replace(cache, length=kv_len)
-            return xh[:, None].astype(x.dtype), new_cache
+            return xh[:, None].astype(x.dtype), new_cache, logits, token
 
     fused = (t == 1 and use_pallas(interpret)
              and cache.bits not in (3, 4) and not c.kv_rotate)
@@ -635,13 +645,14 @@ def _forward_unrolled(
         x = x + d.astype(x.dtype)
 
     new_cache = dataclasses.replace(cache, length=kv_len)
-    return x, new_cache
+    return x, new_cache, None, None
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("config", "all_logits", "interpret", "tp_axis",
-                     "return_hidden", "layer_scan", "megakernel"),
+                     "return_hidden", "layer_scan", "megakernel",
+                     "return_token"),
 )
 def forward(
     params: Params,
@@ -658,12 +669,17 @@ def forward(
     return_hidden: bool = False,  # pipeline stages: skip the head
     layer_scan: Optional[bool] = None,  # None = auto (scan only for MoE)
     megakernel: Optional[bool] = None,  # None = auto; False = force per-layer
+    return_token: bool = False,  # also return the greedy next token
     tree: Optional[tuple] = None,  # (depths [T] i32, mask [T, T] bool):
                                    # token-tree verify (EAGLE); see below
 ) -> Tuple[jax.Array, KVCache]:
     """Run the model over `tokens`, appending T positions to the cache.
 
-    Returns (logits [B, V] or [B, T, V], updated cache).
+    Returns (logits [B, V] or [B, T, V], updated cache); with
+    `return_token=True`, ((logits, greedy_token [B] int32), cache) — on the
+    megakernel decode path the final-norm, lm-head GEMV, and argmax run
+    INSIDE the kernel's last grid step (decode_model.supports_head), so a
+    greedy decode loop has no XLA pass over the vocab-sized logit row.
 
     Layer iteration has two modes. The default (dense models) unrolls the
     layer loop and reads each layer's weights and KV tiles IN PLACE from the
@@ -844,11 +860,17 @@ def forward(
             bits=cache.bits,
         )
     else:
-        x, new_cache = _forward_unrolled(
+        x, new_cache, fused_logits, fused_token = _forward_unrolled(
             params, c, x, cache, cos, sin, start, kv_len, b, t,
             lora=lora, tp_axis=tp_axis, interpret=interpret,
             qkv_split=qkv_split, megakernel=megakernel,
+            fuse_head=not return_hidden,
         )
+        if fused_logits is not None and not return_hidden:
+            logits = fused_logits[:, None] if all_logits else fused_logits
+            if return_token:
+                return (logits, fused_token), new_cache
+            return logits, new_cache
 
     if return_hidden:
         return x, new_cache
@@ -860,6 +882,10 @@ def forward(
     if c.final_softcap:  # gemma2 logit softcapping
         logits = (jnp.tanh(logits.astype(jnp.float32) / c.final_softcap)
                   * c.final_softcap).astype(logits.dtype)
+    if return_token:
+        tok_logits = logits[:, -1] if all_logits else logits
+        token = jnp.argmax(tok_logits, axis=-1).astype(jnp.int32)
+        return (logits, token), new_cache
     return logits, new_cache
 
 

@@ -156,6 +156,31 @@ def decode_steps(
             logit_bias=logit_bias,
         )
 
+    greedy = (sampler == "greedy"
+              or (sampler == "temperature" and temperature == 0.0))
+    if greedy and logit_bias is None and penalty == 1.0:
+        # Greedy fast path: the megakernel's fused lm-head phase already
+        # computed argmax in-kernel (forward(return_token=True)); the scan
+        # body feeds that token straight back — no XLA pass over the
+        # 150k-logit row per step. Ring-buffer bookkeeping is kept so a
+        # caller that later enables penalty sees the same state.
+        tok0 = jnp.argmax(first_logits.astype(jnp.float32),
+                          axis=-1).astype(jnp.int32)
+
+        def body_greedy(carry, _):
+            cache, tok, _, st = carry
+            (logits, ntok), cache = forward(
+                params, config, tok[:, None], cache, return_token=True
+            )
+            st = sampler_mod.record_token(st, tok)
+            return (cache, ntok, logits, st), tok
+
+        (cache, _, last_logits, state), toks = jax.lax.scan(
+            body_greedy, (cache, tok0, first_logits, state), None,
+            length=steps,
+        )
+        return jnp.transpose(toks), last_logits, cache, state, key
+
     def body(carry, _):
         cache, logits, st, key = carry
         key, sub = jax.random.split(key)
