@@ -217,6 +217,39 @@ def _moe_mlp(c: ModelConfig, h2: jax.Array, lp: LayerParams,
     return y.reshape(b, t, hidden)
 
 
+def _moe_mlp_fused(c: ModelConfig, h2: jax.Array, layers: "LayerParams",
+                   layer_index, interpret) -> jax.Array:
+    """Routing in XLA (tiny), all expert GEMVs in ONE Pallas kernel.
+
+    Decode-path replacement for _moe_mlp's scan-of-GEMVs: the scan
+    dynamic-slices the whole layer's expert stack per layer and runs each
+    routed expert as a separate kernel execution (measured 6.2% of the
+    HBM roofline); kernels/moe_decode.py streams only the routed experts
+    via scalar-prefetched BlockSpec offsets into the [L*E]-flat stacks.
+    """
+    from mnn_tpu.kernels.moe_decode import moe_decode_mlp
+
+    b, t, hidden = h2.shape
+    n = b * t
+    x = h2.reshape(n, hidden)
+    router = jax.lax.dynamic_index_in_dim(
+        layers.router, layer_index, 0, keepdims=False)
+    logits = jnp.dot(x.astype(jnp.float32), router,
+                     preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    vals, idx = jax.lax.top_k(probs, c.num_experts_per_tok)
+    if c.norm_topk_prob:
+        vals = vals / jnp.maximum(vals.sum(-1, keepdims=True), 1e-9)
+    gate = None
+    if layers.shared_gate is not None:
+        gw = jax.lax.dynamic_index_in_dim(
+            layers.shared_gate, layer_index, 0, keepdims=False)
+        gate = jax.nn.sigmoid(jnp.dot(x.astype(jnp.float32), gw))
+    y = moe_decode_mlp(x, layers, idx, vals, layer_index, gate,
+                       config=c, interpret=bool(interpret))
+    return y.reshape(b, t, hidden)
+
+
 def _gated_act(c: ModelConfig, gu: jax.Array) -> jax.Array:
     """Gated MLP activation: SwiGLU (qwen/llama) or GeGLU-tanh (gemma)."""
     gate, up = split_gate_up(gu)
@@ -318,11 +351,15 @@ def init_random_params(
             # packed form (quantizing random floats costs minutes of
             # dispatch/compile on the tunnel for zero benefit)
             pack = 2 if quant_bits == 4 else 1
-            # int8 directly: an int32 intermediate would spike 4x the
-            # packed bytes and OOM large-model synthetic init on chip
-            packed = jax.random.randint(
-                key, (c.num_layers, k_dim // pack, n_dim), -128, 128, jnp.int8
+            # one layer of random int8 broadcast across the stack: a
+            # full-stack randint holds multi-GB generation transients that
+            # OOM the MoE synthetic init on a 16GB chip, and kernel
+            # timing is data-independent
+            base = jax.random.randint(
+                key, (k_dim // pack, n_dim), -128, 128, jnp.int8
             )
+            packed = jnp.broadcast_to(
+                base, (c.num_layers, k_dim // pack, n_dim))
             qmax = (1 << quant_bits) - 1
             s = jnp.full(
                 (c.num_layers, k_dim // bs, n_dim), 2 * scale / qmax, jnp.bfloat16
@@ -351,9 +388,10 @@ def init_random_params(
         le = c.num_layers * c.num_experts
         if fast:
             pack = 2 if quant_bits == 4 else 1
-            packed = jax.random.randint(
-                key, (le, k_dim // pack, n_dim), -128, 128, jnp.int8
+            base = jax.random.randint(
+                key, (k_dim // pack, n_dim), -128, 128, jnp.int8
             )
+            packed = jnp.broadcast_to(base, (le, k_dim // pack, n_dim))
             qmax = (1 << quant_bits) - 1
             s = jnp.full((le, k_dim // bs, n_dim), 2 * scale / qmax, jnp.bfloat16)
             stacked = QuantizedLinear(
@@ -628,20 +666,23 @@ def _forward_unrolled(
         x = x + o.astype(x.dtype)
 
         h2 = rms_norm(x, layers.post_norm[i], c.rms_norm_eps)
-        gu = dequant_matmul(
-            h2, layers.wgu, layer_index=i, interpret=interpret
-        )
-        if lo is not None:
-            gu = _add_lora(gu, h2, lo.a_gu, lo.b_gu, lora.scaling)
-        act = swiglu(*split_gate_up(gu))
-        d = dequant_matmul(
-            act, layers.wdown, layer_index=i, interpret=interpret,
-            out_dtype=out_f32,
-        )
-        if lo is not None:
-            d = _add_lora(d, act, lo.a_down, lo.b_down, lora.scaling)
-        if tp_axis:
-            d = jax.lax.psum(d, tp_axis)
+        if c.is_moe:
+            d = _moe_mlp_fused(c, h2, layers, jnp.int32(i), interpret)
+        else:
+            gu = dequant_matmul(
+                h2, layers.wgu, layer_index=i, interpret=interpret
+            )
+            if lo is not None:
+                gu = _add_lora(gu, h2, lo.a_gu, lo.b_gu, lora.scaling)
+            act = swiglu(*split_gate_up(gu))
+            d = dequant_matmul(
+                act, layers.wdown, layer_index=i, interpret=interpret,
+                out_dtype=out_f32,
+            )
+            if lo is not None:
+                d = _add_lora(d, act, lo.a_down, lo.b_down, lora.scaling)
+            if tp_axis:
+                d = jax.lax.psum(d, tp_axis)
         x = x + d.astype(x.dtype)
 
     new_cache = dataclasses.replace(cache, length=kv_len)
@@ -706,7 +747,19 @@ def forward(
                   or c.attn_softcap > 0 or c.swa_every_other
                   or c.swa_pattern > 0)
     if layer_scan is None:
-        layer_scan = c.is_moe or gemma_like or tree is not None
+        moe_fast = False
+        if c.is_moe and t == 1 and not gemma_like and tree is None:
+            from mnn_tpu.kernels import moe_decode
+            from mnn_tpu.kernels.common import use_pallas
+
+            moe_fast = (
+                use_pallas(interpret) and tp_axis is None and lora is None
+                and params.layers.wgu_e is not None
+                and params.layers.wgu_e.packed.shape[1] == c.num_experts
+                and moe_decode.supports(c, params.layers, b)
+            )
+        layer_scan = ((c.is_moe and not moe_fast) or gemma_like
+                      or tree is not None)
     if tree is not None and not layer_scan:
         raise ValueError("tree verify requires the layer-scan path")
     if inputs_embeds is not None:
