@@ -209,6 +209,7 @@ def main():
     small = _run_subprocess("qwen2-0.5b")
     big = _run_subprocess("qwen2-7b")
     moe = _run_subprocess("qwen1.5-moe-a2.7b")
+    gemma = _run_subprocess("gemma2-2b")
     print(json.dumps({
         "metric": "decode_tok_s",
         "value": small.get("decode_tok_s"),
@@ -225,6 +226,7 @@ def main():
         "prefill_mfu_pct": small.get("prefill_mfu_pct"),
         "qwen2_7b": big,
         "qwen1.5_moe_a2.7b": moe,
+        "gemma2_2b": gemma,
         "baseline": "MNN Qwen2-0.5B INT4 iPhone 15 Pro"
                     " (51.36 decode / 234.51 prefill tok/s)",
     }))

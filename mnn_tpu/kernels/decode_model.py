@@ -289,16 +289,16 @@ def supports(config, params, cache, batch: int) -> bool:
     c = config
     if c.is_moe or c.kv_rotate:
         return False
-    # gemma-family configs take the scan path (forward() forces it), but
-    # guard here too: the kernel hardcodes swiglu/plain-norm/no-softcap
-    if c.sandwich_norm or c.mlp_act != "silu" or c.attn_softcap \
-            or c.swa_every_other:
+    # gemma2-class configs (sandwich norms, gelu, score softcap,
+    # alternating windows) are handled by kernel flags; gemma3's N:1
+    # pattern + dual rope still runs the unrolled per-layer path
+    if c.mlp_act not in ("silu", "gelu_tanh") or c.swa_pattern:
         return False
     if cache.bits not in (8, 16):
         return False
     if batch > 8:
         return False
-    if c.head_dim not in (64, 128):
+    if c.head_dim not in (64, 128, 256):
         return False
     lay = params.layers
     if lay.wgu is None or lay.wdown is None:
@@ -346,7 +346,7 @@ def supports_head(config, params) -> bool:
     if head.packed.ndim != 2:
         return False
     c = config
-    if c.vocab_size % 128 or c.final_softcap:
+    if c.vocab_size % 128:
         return False
     if c.hidden_size % head.block_size:
         return False
@@ -418,6 +418,7 @@ def _kernel(
     gw_ref, gsb_ref,   # ANY: [L, H//pack, 2I] + [L, 2*pad8, 2I] scale||bias
     dw_ref, dsb_ref,   # ANY: [L, n_mlp, ci//pack, H] + stacked planes
     innorm_ref, postnorm_ref,             # [1, 1, H] f32
+    preffn_ref, postffn_ref,              # [1, 1, H] f32 (sandwich; ones)
     qkn_ref,                              # [1, 2, D] f32 (q_norm; k_norm)
     k_ref, v_ref,                         # [1, BH, bkv, D] int8/bf16
     ks_ref, vs_ref,                       # [1, BH, 1, bkv] f32 (quantized)
@@ -435,6 +436,7 @@ def _kernel(
     plan: _Plan,
     bits, bs_h, bs_i, has_qkv_bias, use_qk_norm,
     scale, eps, quantized, window, sink,
+    softcap=0.0, gelu=False, sandwich=False, swa_alt=False,
     fuse_head=False, head_reuse=False, n_chunks=0, vocab=0, head_bits=4,
     bs_head=128,
 ):
@@ -593,6 +595,8 @@ def _kernel(
                 vrow_ref[0, bh] = jnp.broadcast_to(vq, (8, d))
 
                 s_new = (q @ k_att.T) * scale           # [GP, 1]
+                if softcap:
+                    s_new = jnp.tanh(s_new / softcap) * softcap
                 m_scr[bh] = jnp.broadcast_to(s_new, (gp, 128))
                 l_scr[bh] = jnp.ones((gp, 128), jnp.float32)
                 accA_scr[bh] = jnp.broadcast_to(v_att, (gp, d))
@@ -618,10 +622,20 @@ def _kernel(
                     if quantized:
                         s = s * ks_ref[0, bh]
                     s = s * scale
+                    if softcap:
+                        s = jnp.tanh(s / softcap) * softcap
                     col = kv_start + jax.lax.broadcasted_iota(
                         jnp.int32, (gp, bkv), 1)
                     mask = col < len_old
-                    if window:
+                    if window and swa_alt:
+                        # gemma2: even layers slide, odd layers are global
+                        win_l = jnp.where(l % 2 == 0, window, 0)
+                        in_w = jnp.logical_or(
+                            win_l <= 0, col > len_old - win_l)
+                        if sink:
+                            in_w = jnp.logical_or(in_w, col < sink)
+                        mask = jnp.logical_and(mask, in_w)
+                    elif window:
                         in_w = col > len_old - window
                         if sink:
                             in_w = jnp.logical_or(in_w, col < sink)
@@ -702,9 +716,14 @@ def _kernel(
             # bf16 — round o first, then the bf16 residual sum.
             # (acc_scr already holds this phase's term: VMEM stores commit
             # in program order within the kernel body.)
-            x = _bf16r(x_scr[...] + _bf16r(acc_scr[...]))
+            o = _bf16r(acc_scr[...])
+            if sandwich:  # gemma: post-ATTENTION norm on the output
+                o = _bf16r(_rms(o, postnorm_ref[0, 0], eps))
+            x = _bf16r(x_scr[...] + o)
             x_scr[...] = x
-            rn_scr[...] = _rms(x, postnorm_ref[0, 0], eps)
+            rn_scr[...] = _rms(
+                x, preffn_ref[0, 0] if sandwich else postnorm_ref[0, 0],
+                eps)
 
     # ---- fused MLP chunk pairs: gate/up chunk -> SwiGLU -> down chunk -------
     # Two modes (plan.mlp_manual, measured crossover in _Plan.phases):
@@ -736,8 +755,12 @@ def _kernel(
         up = jnp.concatenate(
             [part_s[:, kb * 128:kb * 128 + 64]
              for kb in range(ci // 64)], axis=1)
-        # per-layer swiglu: silu(gate f32) -> bf16, then a bf16 product
-        act = _bf16r(_bf16r(gate * jax.lax.logistic(gate)) * up)
+        # per-layer activation: silu/gelu on the f32 gate -> bf16, then a
+        # bf16 product (matches _gated_act's rounding points)
+        if gelu:
+            act = _bf16r(_bf16r(jax.nn.gelu(gate, approximate=True)) * up)
+        else:
+            act = _bf16r(_bf16r(gate * jax.lax.logistic(gate)) * up)
         return _qmatmul_rows(act, read_dn, sb_d[:nbp_i], sb_d[nbp_i:],
                              bits=bits, bs=bs_i, k=ci)
 
@@ -763,7 +786,10 @@ def _kernel(
 
             @pl.when(c_m == n_mlp - 1)
             def _():
-                x = _bf16r(x_scr[...] + _bf16r(acc_scr[...]))
+                dn_o = _bf16r(acc_scr[...])
+                if sandwich:
+                    dn_o = _bf16r(_rms(dn_o, postffn_ref[0, 0], eps))
+                x = _bf16r(x_scr[...] + dn_o)
                 x_scr[...] = x
 
                 @pl.when(l == nl - 1)
@@ -804,7 +830,10 @@ def _kernel(
                 return 0
 
             jax.lax.fori_loop(0, n_mlp, chunk, 0)
-            x = _bf16r(x_scr[...] + _bf16r(acc_scr[...]))
+            dn_o = _bf16r(acc_scr[...])
+            if sandwich:
+                dn_o = _bf16r(_rms(dn_o, postffn_ref[0, 0], eps))
+            x = _bf16r(x_scr[...] + dn_o)
             x_scr[...] = x
 
             @pl.when(l == nl - 1)
@@ -949,7 +978,7 @@ def fused_decode_model(
     bs_i = layers.wdown.block_size
     if layers.wo.block_size != bs_h or layers.wgu.block_size != bs_h:
         raise ValueError("megakernel requires uniform hidden-dim block size")
-    sm_scale = 1.0 / (d ** 0.5)
+    sm_scale = c.query_scale if c.query_scale else 1.0 / (d ** 0.5)
 
     @dataclasses.dataclass
     class _CacheView:
@@ -973,10 +1002,13 @@ def fused_decode_model(
                     and head.scale.dtype == layers.wgu.scale.dtype
                     and head.bias.dtype == layers.wgu.bias.dtype)
         plan_d = _plan(c, layers, cview, b, head=head)
-        if (plan_d is not None and plan_d.bnv
+        if (plan_d is not None and plan_d.bnv >= 1024
                 and plan_d.phases == plan0.phases
                 and plan_d.n_mlp == plan0.n_mlp
                 and plan_d.mlp_manual == plan0.mlp_manual):
+            # dedicated slots need a real chunk width to be worth it —
+            # a starved bnv (e.g. 128 -> 2000 DMA rounds on a 256k vocab)
+            # costs more in per-chunk overhead than slot reuse saves
             plan = plan_d
         elif reusable:
             plan = _plan(c, layers, cview, b, head=head, head_reuse=True)
@@ -1065,6 +1097,11 @@ def fused_decode_model(
         qkvb = jnp.zeros((1, 1, nq), jnp.float32)
     innorm = lay.input_norm.reshape(nl, 1, h).astype(jnp.float32)
     postnorm = lay.post_norm.reshape(nl, 1, h).astype(jnp.float32)
+    if c.sandwich_norm:
+        preffn = lay.pre_ffn_norm.reshape(nl, 1, h).astype(jnp.float32)
+        postffn = lay.post_ffn_norm.reshape(nl, 1, h).astype(jnp.float32)
+    else:
+        preffn = postffn = jnp.ones((1, 1, h), jnp.float32)
     if use_qk_norm:
         qkn = jnp.stack(
             [lay.q_norm, lay.k_norm], axis=1).astype(jnp.float32)  # [L, 2, D]
@@ -1164,6 +1201,8 @@ def fused_decode_model(
         has_qkv_bias=has_qkv_bias, use_qk_norm=use_qk_norm,
         scale=sm_scale, eps=c.rms_norm_eps, quantized=quantized,
         window=c.sliding_window, sink=c.attention_sink,
+        softcap=c.attn_softcap, gelu=c.mlp_act == "gelu_tanh",
+        sandwich=c.sandwich_norm, swa_alt=c.swa_every_other,
         fuse_head=fuse_head, head_reuse=head_reuse, n_chunks=n_chunks,
         vocab=vocab,
         head_bits=head.bits if fuse_head else 4,
@@ -1194,6 +1233,10 @@ def fused_decode_model(
     ]) + [
         pl.BlockSpec((1, 1, h), at_norm),                   # input_norm
         pl.BlockSpec((1, 1, h), at_norm),                   # post_norm
+        pl.BlockSpec((1, 1, h),
+                     at_norm if c.sandwich_norm else const3),  # pre_ffn
+        pl.BlockSpec((1, 1, h),
+                     at_norm if c.sandwich_norm else const3),  # post_ffn
         pl.BlockSpec((1, 2, d), at_qkn),                    # qk norms
         pl.BlockSpec((1, b * hkv, bkv, d), at_kv),          # k tile
         pl.BlockSpec((1, b * hkv, bkv, d), at_kv),          # v tile
@@ -1313,7 +1356,7 @@ def fused_decode_model(
         lay.wo.packed, so, bo,
         lay.wgu.packed, gsb,
         dw4, dsb,
-        innorm, postnorm, qkn,
+        innorm, postnorm, preffn, postffn, qkn,
         k4, v4, ks4, vs4,
         *head_args,
     )

@@ -70,7 +70,7 @@ def _kernel(
     sc_ref,     # [1, 8, 128] f32 — [0,0]=k scale, [1,0]=v scale (quantized)
     q_scr, acc_ref, m_ref, l_ref,
     *, hkv, g, gp, d, bkv, nj, scale, eps,
-    quantized, use_qk_norm, window, sink,
+    quantized, use_qk_norm, window, sink, softcap=0.0,
 ):
     del lidx_ref
     j = pl.program_id(1)
@@ -117,6 +117,8 @@ def _kernel(
 
         # seed online softmax with the new token (always visible, causal)
         s_new = (q @ k_att.T) * scale                 # [GP, 1]
+        if softcap:
+            s_new = jnp.tanh(s_new / softcap) * softcap  # gemma2 score cap
         m_ref[...] = jnp.broadcast_to(s_new, m_ref.shape)
         l_ref[...] = jnp.ones_like(l_ref)
         acc_ref[...] = jnp.broadcast_to(v_att, acc_ref.shape)
@@ -134,6 +136,8 @@ def _kernel(
         if quantized:
             s = s * ks_ref[0, 0]
         s = s * scale
+        if softcap:
+            s = jnp.tanh(s / softcap) * softcap
 
         col = kv_start + jax.lax.broadcasted_iota(jnp.int32, (gp, bkv), 1)
         mask = col < len_old
@@ -185,6 +189,7 @@ def fused_decode_attention(
     block_kv: int = 512,
     window: int = 0,
     sink: int = 0,
+    softcap: float = 0.0,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array,
            Optional[jax.Array], Optional[jax.Array]]:
@@ -245,6 +250,7 @@ def fused_decode_attention(
         _kernel, hkv=hkv, g=g, gp=gp, d=d, bkv=bkv,
         nj=nj, scale=sm_scale, eps=eps, quantized=quantized,
         use_qk_norm=use_qk_norm, window=window, sink=sink,
+        softcap=softcap,
     )
 
     in_specs = [

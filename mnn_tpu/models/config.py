@@ -203,6 +203,17 @@ PRESETS = {
         moe_intermediate_size=1408, shared_expert_intermediate_size=5632,
         norm_topk_prob=False,
     ),
+    # gemma2-2b (public HF config): gelu MLP, sandwich norms, score/logit
+    # softcaps, alternating sliding-window layers, 256-wide heads
+    "gemma2-2b": ModelConfig(
+        name="gemma2-2b", vocab_size=256000, hidden_size=2304,
+        intermediate_size=9216, num_layers=26, num_heads=8, num_kv_heads=4,
+        head_dim=256, rope_theta=10000.0, tie_word_embeddings=True,
+        attention_bias=False, sliding_window=4096, mlp_act="gelu_tanh",
+        embed_scale=True, sandwich_norm=True, attn_softcap=50.0,
+        final_softcap=30.0, query_scale=256.0 ** -0.5,
+        swa_every_other=True,
+    ),
     "qwen3-moe-30b-a3b": ModelConfig(
         name="qwen3-moe-30b-a3b", vocab_size=151936, hidden_size=2048,
         intermediate_size=6144, num_layers=48, num_heads=32, num_kv_heads=4,

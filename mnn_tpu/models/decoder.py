@@ -522,7 +522,7 @@ def _attention(
 def _forward_unrolled(
     params, c, x, cache, cos, sin, start, kv_len, b, t,
     *, lora, tp_axis, interpret, qkv_split, megakernel=None,
-    fuse_head=False,
+    fuse_head=False, cos_l=None, sin_l=None,
 ):
     """Unrolled layer loop over [L, ...]-stacked weights and KV cache.
 
@@ -590,6 +590,9 @@ def _forward_unrolled(
         # full-width rope phases for the fused kernel (neox halves tiled 2x)
         cos_f = jnp.concatenate([cos[:, 0], cos[:, 0]], axis=-1)  # [B, D]
         sin_f = jnp.concatenate([sin[:, 0], sin[:, 0]], axis=-1)
+        if cos_l is not None:  # gemma3 local-rope phases for sliding layers
+            cos_lf = jnp.concatenate([cos_l[:, 0], cos_l[:, 0]], axis=-1)
+            sin_lf = jnp.concatenate([sin_l[:, 0], sin_l[:, 0]], axis=-1)
 
     for i in range(c.num_layers):
         lo = (
@@ -603,17 +606,32 @@ def _forward_unrolled(
         if lo is not None:
             qkv = _add_lora(qkv, h, lo.a_qkv, lo.b_qkv, lora.scaling)
 
+        # per-layer window/rope are PYTHON-static in the unrolled loop —
+        # gemma2 slides on even layers, gemma3 slides everywhere except
+        # every swa_pattern-th (global) layer, which also uses the global
+        # rope theta (the scan path pays ~3x decode HBM for the same)
+        window_i = c.sliding_window
+        cos_i, sin_i = (cos_f, sin_f) if fused else (None, None)
+        if c.swa_every_other:
+            window_i = c.sliding_window if i % 2 == 0 else 0
+        elif c.swa_pattern:
+            if (i + 1) % c.swa_pattern == 0:
+                window_i = 0
+            elif fused:
+                cos_i, sin_i = cos_lf, sin_lf
         if fused:
             # rope + QK-norm + KV-quantize + attention in one kernel; the
             # grouped projection layout goes in untouched
             qkv_g = qkv.reshape(b, c.num_kv_heads, group + 2, c.head_dim)
             att, k_row, v_row, k_sc, v_sc = fused_decode_attention(
                 qkv_g, cache.k, cache.v, cache.k_scale, cache.v_scale,
-                i, cache.length, cos_f, sin_f,
+                i, cache.length, cos_i, sin_i,
                 q_norm=layers.q_norm[i] if c.qk_norm else None,
                 k_norm=layers.k_norm[i] if c.qk_norm else None,
-                eps=c.rms_norm_eps, window=c.sliding_window,
-                sink=c.attention_sink, interpret=bool(interpret),
+                eps=c.rms_norm_eps, window=window_i,
+                sink=c.attention_sink, softcap=c.attn_softcap,
+                sm_scale=c.query_scale if c.query_scale else None,
+                interpret=bool(interpret),
             )
             cache = kvcache.scatter_decode_row(
                 cache, i, k_row, v_row, k_sc, v_sc, cache.length
@@ -663,9 +681,16 @@ def _forward_unrolled(
             o = _add_lora(o, att, lo.a_o, lo.b_o, lora.scaling)
         if tp_axis:
             o = jax.lax.psum(o, tp_axis)
+        if c.sandwich_norm:  # gemma2/3: post-attention norm on the OUTPUT
+            o = rms_norm(o, layers.post_norm[i], c.rms_norm_eps)
         x = x + o.astype(x.dtype)
 
-        h2 = rms_norm(x, layers.post_norm[i], c.rms_norm_eps)
+        h2 = rms_norm(
+            x,
+            layers.pre_ffn_norm[i] if c.sandwich_norm
+            else layers.post_norm[i],
+            c.rms_norm_eps,
+        )
         if c.is_moe:
             d = _moe_mlp_fused(c, h2, layers, jnp.int32(i), interpret)
         else:
@@ -674,7 +699,7 @@ def _forward_unrolled(
             )
             if lo is not None:
                 gu = _add_lora(gu, h2, lo.a_gu, lo.b_gu, lora.scaling)
-            act = swiglu(*split_gate_up(gu))
+            act = _gated_act(c, gu)
             d = dequant_matmul(
                 act, layers.wdown, layer_index=i, interpret=interpret,
                 out_dtype=out_f32,
@@ -683,6 +708,8 @@ def _forward_unrolled(
                 d = _add_lora(d, act, lo.a_down, lo.b_down, lora.scaling)
             if tp_axis:
                 d = jax.lax.psum(d, tp_axis)
+        if c.sandwich_norm:
+            d = rms_norm(d, layers.post_ffn_norm[i], c.rms_norm_eps)
         x = x + d.astype(x.dtype)
 
     new_cache = dataclasses.replace(cache, length=kv_len)
@@ -747,10 +774,11 @@ def forward(
                   or c.attn_softcap > 0 or c.swa_every_other
                   or c.swa_pattern > 0)
     if layer_scan is None:
+        from mnn_tpu.kernels.common import use_pallas
+
         moe_fast = False
         if c.is_moe and t == 1 and not gemma_like and tree is None:
             from mnn_tpu.kernels import moe_decode
-            from mnn_tpu.kernels.common import use_pallas
 
             moe_fast = (
                 use_pallas(interpret) and tp_axis is None and lora is None
@@ -758,7 +786,18 @@ def forward(
                 and params.layers.wgu_e.packed.shape[1] == c.num_experts
                 and moe_decode.supports(c, params.layers, b)
             )
-        layer_scan = ((c.is_moe and not moe_fast) or gemma_like
+        # gemma-family decode: the unrolled per-layer path handles
+        # softcap / sandwich norms / gelu / alternating + N:1 windows /
+        # dual rope with PYTHON-static per-layer parameters, reading
+        # weights in place (the scan path pays ~3x decode HBM traffic).
+        # Requires the fused decode-attention kernel (softcap lives there).
+        gemma_fast = (
+            gemma_like and t == 1 and not c.is_moe and tree is None
+            and use_pallas(interpret) and tp_axis is None and lora is None
+            and cache.bits not in (3, 4) and not c.kv_rotate
+        )
+        layer_scan = ((c.is_moe and not moe_fast)
+                      or (gemma_like and not gemma_fast)
                       or tree is not None)
     if tree is not None and not layer_scan:
         raise ValueError("tree verify requires the layer-scan path")
@@ -917,9 +956,14 @@ def forward(
             params, c, x, cache, cos, sin, start, kv_len, b, t,
             lora=lora, tp_axis=tp_axis, interpret=interpret,
             qkv_split=qkv_split, megakernel=megakernel,
-            fuse_head=not return_hidden,
+            fuse_head=not return_hidden, cos_l=cos_l, sin_l=sin_l,
         )
         if fused_logits is not None and not return_hidden:
+            if c.final_softcap:
+                # tanh cap is monotone, so the in-kernel argmax token is
+                # already correct; only the logit VALUES need capping
+                fused_logits = (jnp.tanh(fused_logits / c.final_softcap)
+                                * c.final_softcap)
             logits = fused_logits[:, None] if all_logits else fused_logits
             if return_token:
                 return (logits, fused_token), new_cache
