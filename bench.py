@@ -67,14 +67,15 @@ def _decode_bytes_per_token(c, rt, kv_len):
     else:
         i_dim = c.intermediate_size
         per_layer += lin(h, 2 * i_dim) + lin(i_dim, h)
-    kv = L * 2 * c.num_kv_heads * kv_len * c.head_dim  # int8 K+V read
+    kvb = {8: 1.0, 4: 0.5, 3: 0.375}.get(rt.kv_bits, 2.0)
+    kv = int(L * 2 * c.num_kv_heads * kv_len * (c.head_dim * kvb + 4))
     head_pack = 2 if rt.lm_head_bits == 4 else 1
     head = h * c.vocab_size // head_pack
     return L * per_layer + kv + head
 
 
 def bench_preset(preset: str, pp: int = PP, tg: int = TG,
-                 num_layers: int = 0):
+                 num_layers: int = 0, kv_bits: int = 8):
     import dataclasses
 
     import jax
@@ -88,10 +89,13 @@ def bench_preset(preset: str, pp: int = PP, tg: int = TG,
     c = PRESETS[preset]
     if num_layers:  # depth-truncated variant (fit HBM; per-layer cost is
         c = dataclasses.replace(c, num_layers=num_layers)  # depth-uniform)
+    cap = 1024
+    while cap < pp + tg:
+        cap *= 2
     rt = RuntimeConfig(
-        max_seq_len=1024, prefill_chunk=pp, decode_block=tg,
-        sampler="greedy", kv_quant=True, quant_bits=4, quant_block=128,
-        lm_head_bits=4,
+        max_seq_len=cap, prefill_chunk=min(pp, 512), decode_block=tg,
+        sampler="greedy", kv_quant=True, kv_bits=kv_bits, quant_bits=4,
+        quant_block=128, lm_head_bits=4,
     )
     params = init_random_params(
         c, jax.random.PRNGKey(0), quant_bits=rt.quant_bits,
@@ -99,7 +103,7 @@ def bench_preset(preset: str, pp: int = PP, tg: int = TG,
     )
     cache0 = kvcache.create(
         c.num_layers, 1, c.num_kv_heads, rt.max_seq_len, c.head_dim,
-        quantized=rt.kv_quant,
+        quantized=rt.kv_quant, kv_bits=rt.kv_bits,
     )
     tokens = jnp.zeros((1, pp), jnp.int32)
 
@@ -161,7 +165,7 @@ def bench_preset(preset: str, pp: int = PP, tg: int = TG,
     }
 
 
-def _run_subprocess(preset: str):
+def _run_subprocess(preset: str, extra=()):
     """Bench one preset in a fresh process: each model gets the WHOLE
     HBM (running them in one process left qwen1.5-moe only 12 of its 24
     layers of room beside the 0.5B/7B pools) and a compile-cache-warm,
@@ -170,7 +174,7 @@ def _run_subprocess(preset: str):
     import sys
 
     proc = subprocess.run(
-        [sys.executable, __file__, "--preset", preset],
+        [sys.executable, __file__, "--preset", preset, *extra],
         capture_output=True, text=True, timeout=1800,
     )
     for line in reversed(proc.stdout.strip().splitlines()):
@@ -189,6 +193,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default=None,
                     help="bench only this preset (default: 0.5b + 7b + moe)")
+    ap.add_argument("--pp", type=int, default=PP)
+    ap.add_argument("--tg", type=int, default=TG)
+    ap.add_argument("--kv-bits", type=int, default=8, dest="kv_bits")
     args = ap.parse_args()
 
     from mnn_tpu.utils.compile_cache import enable as enable_compile_cache
@@ -196,7 +203,8 @@ def main():
     enable_compile_cache()
 
     if args.preset:
-        r = bench_preset(args.preset)
+        r = bench_preset(args.preset, pp=args.pp, tg=args.tg,
+                         kv_bits=args.kv_bits)
         print(json.dumps({
             "metric": "decode_tok_s", "value": r["decode_tok_s"],
             "unit": "tok/s", "vs_baseline": round(
@@ -210,6 +218,10 @@ def main():
     big = _run_subprocess("qwen2-7b")
     moe = _run_subprocess("qwen1.5-moe-a2.7b")
     gemma = _run_subprocess("gemma2-2b")
+    # long-context row: int4 KV halves decode KV traffic vs int8 at
+    # pp2048 (reference TQ4-class sub-byte KV, CPUKVCacheManager.hpp:20)
+    long8 = _run_subprocess("qwen2-0.5b", ("--pp", "2048"))
+    long4 = _run_subprocess("qwen2-0.5b", ("--pp", "2048", "--kv-bits", "4"))
     print(json.dumps({
         "metric": "decode_tok_s",
         "value": small.get("decode_tok_s"),
@@ -227,6 +239,8 @@ def main():
         "qwen2_7b": big,
         "qwen1.5_moe_a2.7b": moe,
         "gemma2_2b": gemma,
+        "longctx_pp2048_kv8": long8,
+        "longctx_pp2048_kv4": long4,
         "baseline": "MNN Qwen2-0.5B INT4 iPhone 15 Pro"
                     " (51.36 decode / 234.51 prefill tok/s)",
     }))

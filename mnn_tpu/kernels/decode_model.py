@@ -229,8 +229,9 @@ def _plan(c, layers, cache, batch: int, head=None,
             + (h // bs_h) * 2 * ci * sb_g * 2
             + wbytes(ci, h)                      # wdown chunk
             + (ci // bs_i) * h * sb_d * 2
-            + 2 * batch * hkv * bkv * d * (1 if cache.bits == 8 else 2)  # k+v
-            + (2 * batch * hkv * bkv * 4 if cache.bits == 8 else 0)     # k/v sc
+            + 2 * batch * hkv * bkv * d
+            * (1 if cache.bits == 8 else 2 if cache.bits == 16 else 0.5)
+            + (2 * batch * hkv * bkv * 4 if cache.bits < 16 else 0)  # k/v sc
             + nq * 4 + 2 * h * 4 + 2 * d * 4     # out-bias + norms + qk-norms
             + b8 * h * 4 + b8 * 2 * d * 4        # x input + cos/sin
         )
@@ -294,7 +295,7 @@ def supports(config, params, cache, batch: int) -> bool:
     # pattern + dual rope still runs the unrolled per-layer path
     if c.mlp_act not in ("silu", "gelu_tanh") or c.swa_pattern:
         return False
-    if cache.bits not in (8, 16):
+    if cache.bits not in (4, 8, 16):
         return False
     if batch > 8:
         return False
@@ -435,7 +436,7 @@ def _kernel(
     b, hkv, g, gp, d, h, nq, dq, nl,
     plan: _Plan,
     bits, bs_h, bs_i, has_qkv_bias, use_qk_norm,
-    scale, eps, quantized, window, sink,
+    scale, eps, kv_bits, window, sink,
     softcap=0.0, gelu=False, sandwich=False, swa_alt=False,
     fuse_head=False, head_reuse=False, n_chunks=0, vocab=0, head_bits=4,
     bs_head=128,
@@ -481,6 +482,14 @@ def _kernel(
     else:
         A0 = n_qkv
         W0 = A0 + nkv
+    quantized = kv_bits < 16
+
+    def unpack4(p32):
+        # nibble pairing (j, j + D/2), unsigned storage (q + 8):
+        # kvcache.quantize_kv4
+        lo4 = (p32 & 0xF) - 8
+        hi4 = ((p32 >> 4) & 0xF) - 8
+        return jnp.concatenate([lo4, hi4], axis=-1)
 
     # MLP weights stream through manually double-buffered VMEM slots (see
     # _mlp_block): chunk c of layer l lives in slot (l*n_mlp + c) % 2, so
@@ -575,12 +584,13 @@ def _kernel(
                 q_scr[bh] = q
 
                 if quantized:
+                    qmax = 127.0 if kv_bits == 8 else 7.0
                     kabs = jnp.max(jnp.abs(kr))
                     vabs = jnp.max(jnp.abs(vr))
-                    ksc = jnp.where(kabs == 0, 1.0, kabs / 127.0)
-                    vsc = jnp.where(vabs == 0, 1.0, vabs / 127.0)
-                    kq = jnp.clip(jnp.round(kr / ksc), -127, 127)
-                    vq = jnp.clip(jnp.round(vr / vsc), -127, 127)
+                    ksc = jnp.where(kabs == 0, 1.0, kabs / qmax)
+                    vsc = jnp.where(vabs == 0, 1.0, vabs / qmax)
+                    kq = jnp.clip(jnp.round(kr / ksc), -qmax - 1, qmax)
+                    vq = jnp.clip(jnp.round(vr / vsc), -qmax - 1, qmax)
                     k_att = kq * ksc
                     v_att = vq * vsc
                     rowid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
@@ -591,8 +601,19 @@ def _kernel(
                     vq = vr.astype(jnp.bfloat16).astype(jnp.float32)
                     k_att = kq
                     v_att = vq
-                krow_ref[0, bh] = jnp.broadcast_to(kq, (8, d))
-                vrow_ref[0, bh] = jnp.broadcast_to(vq, (8, d))
+                if kv_bits == 4:
+                    # pack as f32-held bytes (scatter casts to int8):
+                    # byte j = (q[j]+8) | (q[j+D/2]+8)<<4, wrapped signed
+                    def pack4(qv):
+                        qi = qv.astype(jnp.int32) + 8
+                        byte = qi[:, :d // 2] | (qi[:, d // 2:] << 4)
+                        return jnp.where(
+                            byte > 127, byte - 256, byte).astype(jnp.float32)
+                    krow_ref[0, bh] = jnp.broadcast_to(pack4(kq), (8, d // 2))
+                    vrow_ref[0, bh] = jnp.broadcast_to(pack4(vq), (8, d // 2))
+                else:
+                    krow_ref[0, bh] = jnp.broadcast_to(kq, (8, d))
+                    vrow_ref[0, bh] = jnp.broadcast_to(vq, (8, d))
 
                 s_new = (q @ k_att.T) * scale           # [GP, 1]
                 if softcap:
@@ -615,6 +636,9 @@ def _kernel(
                     bh = bi * hkv + hi
                     q = q_scr[bh]
                     kt = k_ref[0, bh].astype(jnp.float32)
+                    if kv_bits == 4:
+                        kt = unpack4(k_ref[0, bh].astype(jnp.int32)) \
+                            .astype(jnp.float32)
                     s = jax.lax.dot_general(
                         q, kt, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
@@ -653,6 +677,9 @@ def _kernel(
                         jnp.sum(pr, axis=1, keepdims=True), (gp, 128))
                     m_scr[bh] = m_new
                     vt = v_ref[0, bh].astype(jnp.float32)
+                    if kv_bits == 4:
+                        vt = unpack4(v_ref[0, bh].astype(jnp.int32)) \
+                            .astype(jnp.float32)
                     accA_scr[bh] = accA_scr[bh] * alpha[:, :1] + (
                         jax.lax.dot_general(
                             pv, vt, (((1,), (0,)), ((), ())),
@@ -972,7 +999,12 @@ def fused_decode_model(
     i_dim = c.intermediate_size
     nl = c.num_layers
     s = k_cache.shape[3]
-    quantized = k_cache.dtype == jnp.int8
+    d_store = k_cache.shape[4]
+    if k_cache.dtype == jnp.int8:
+        kv_bits = 4 if d_store * 2 == d else 8
+    else:
+        kv_bits = 16
+    quantized = kv_bits < 16
     bits = layers.wqkv.bits
     bs_h = layers.wqkv.block_size
     bs_i = layers.wdown.block_size
@@ -985,7 +1017,7 @@ def fused_decode_model(
         capacity: int
         bits: int
 
-    cview = _CacheView(capacity=s, bits=8 if quantized else 16)
+    cview = _CacheView(capacity=s, bits=kv_bits)
     plan0 = _plan(c, layers, cview, b)
     if plan0 is None:
         raise ValueError("megakernel: no VMEM-feasible chunk plan "
@@ -1029,6 +1061,14 @@ def fused_decode_model(
     else:
         A0 = n_qkv
         W0 = A0 + nkv
+    quantized = kv_bits < 16
+
+    def unpack4(p32):
+        # nibble pairing (j, j + D/2), unsigned storage (q + 8):
+        # kvcache.quantize_kv4
+        lo4 = (p32 & 0xF) - 8
+        hi4 = ((p32 >> 4) & 0xF) - 8
+        return jnp.concatenate([lo4, hi4], axis=-1)
     P = plan.phases
 
     b8 = 8
@@ -1108,8 +1148,8 @@ def fused_decode_model(
     else:
         qkn = jnp.ones((1, 2, d), jnp.float32)
 
-    k4 = k_cache.reshape(nl, b * hkv, s, d)
-    v4 = v_cache.reshape(nl, b * hkv, s, d)
+    k4 = k_cache.reshape(nl, b * hkv, s, d_store)
+    v4 = v_cache.reshape(nl, b * hkv, s, d_store)
     if quantized:
         ks4 = k_scale.reshape(nl, b * hkv, 1, s).astype(jnp.float32)
         vs4 = v_scale.reshape(nl, b * hkv, 1, s).astype(jnp.float32)
@@ -1199,7 +1239,7 @@ def fused_decode_model(
         b=b, hkv=hkv, g=g, gp=gp, d=d, h=h, nq=nq, dq=dq, nl=nl,
         plan=plan, bits=bits, bs_h=bs_h, bs_i=bs_i,
         has_qkv_bias=has_qkv_bias, use_qk_norm=use_qk_norm,
-        scale=sm_scale, eps=c.rms_norm_eps, quantized=quantized,
+        scale=sm_scale, eps=c.rms_norm_eps, kv_bits=kv_bits,
         window=c.sliding_window, sink=c.attention_sink,
         softcap=c.attn_softcap, gelu=c.mlp_act == "gelu_tanh",
         sandwich=c.sandwich_norm, swa_alt=c.swa_every_other,
@@ -1238,8 +1278,8 @@ def fused_decode_model(
         pl.BlockSpec((1, 1, h),
                      at_norm if c.sandwich_norm else const3),  # post_ffn
         pl.BlockSpec((1, 2, d), at_qkn),                    # qk norms
-        pl.BlockSpec((1, b * hkv, bkv, d), at_kv),          # k tile
-        pl.BlockSpec((1, b * hkv, bkv, d), at_kv),          # v tile
+        pl.BlockSpec((1, b * hkv, bkv, d_store), at_kv),    # k tile
+        pl.BlockSpec((1, b * hkv, bkv, d_store), at_kv),    # v tile
         pl.BlockSpec(
             (1, b * hkv, 1, bkv if quantized else 128), at_kv_sc),
         pl.BlockSpec(
@@ -1248,14 +1288,14 @@ def fused_decode_model(
 
     out_shape = [
         jax.ShapeDtypeStruct((b8, h), jnp.float32),
-        jax.ShapeDtypeStruct((nl, b * hkv, 8, d), jnp.float32),
-        jax.ShapeDtypeStruct((nl, b * hkv, 8, d), jnp.float32),
+        jax.ShapeDtypeStruct((nl, b * hkv, 8, d_store), jnp.float32),
+        jax.ShapeDtypeStruct((nl, b * hkv, 8, d_store), jnp.float32),
         jax.ShapeDtypeStruct((nl, b * hkv, 8, 128), jnp.float32),
     ]
     def at_l4(l_, p_, L):
         return (_cl(l_), 0, 0, 0)
 
-    row_spec = pl.BlockSpec((1, b * hkv, 8, d), at_l4)
+    row_spec = pl.BlockSpec((1, b * hkv, 8, d_store), at_l4)
     out_specs = [
         pl.BlockSpec((b8, h), const2),
         row_spec, row_spec,
@@ -1362,8 +1402,8 @@ def fused_decode_model(
     )
 
     x_out = outs[0][:b]
-    k_rows = outs[1][:, :, 0].reshape(nl, b, hkv, 1, d)
-    v_rows = outs[2][:, :, 0].reshape(nl, b, hkv, 1, d)
+    k_rows = outs[1][:, :, 0].reshape(nl, b, hkv, 1, d_store)
+    v_rows = outs[2][:, :, 0].reshape(nl, b, hkv, 1, d_store)
     if quantized:
         k_sc = outs[3][:, :, 0, 0].reshape(nl, b, hkv, 1)
         v_sc = outs[3][:, :, 1, 0].reshape(nl, b, hkv, 1)

@@ -24,13 +24,14 @@ BASE = ModelConfig(
 )
 
 
-def _setup(cfg, batch=1, cap=128, quantized=True, bits=4, prefill_len=9):
+def _setup(cfg, batch=1, cap=128, quantized=True, bits=4, prefill_len=9,
+           kv_bits=8):
     params = init_random_params(
         cfg, jax.random.PRNGKey(0), quant_bits=bits, scale=0.05
     )
     cache = kvcache.create(
         cfg.num_layers, batch, cfg.num_kv_heads, cap, cfg.head_dim,
-        quantized=quantized,
+        quantized=quantized, kv_bits=kv_bits,
     )
     toks = jax.random.randint(
         jax.random.PRNGKey(1), (batch, prefill_len), 0, cfg.vocab_size,
@@ -171,6 +172,89 @@ class TestMegakernel:
         got = np.asarray(xh, np.float32)
         rel = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-9)
         assert rel < 1e-4, f"multichunk rel err {rel} (plan {plan})"
+
+    def test_int4_kv_megakernel(self):
+        """kv_bits=4: the megakernel unpacks nibble-packed tiles in place
+        and emits packed new-token rows; logits must match the per-layer
+        int4-KV path (which uses the XLA fallback attention)."""
+        cfg = BASE
+        params, cache = _setup(cfg, kv_bits=4, prefill_len=12)
+        assert cache.bits == 4
+        assert decode_model.supports(cfg, params, cache, 1)
+        tok = jax.random.randint(
+            jax.random.PRNGKey(2), (1, 1), 0, cfg.vocab_size, jnp.int32)
+        for _ in range(3):
+            pl_, cache_pl = forward(params, cfg, tok, cache, interpret=True,
+                                    megakernel=False)
+            mk, cache_mk = forward(params, cfg, tok, cache, interpret=True)
+            m = np.asarray(mk, np.float32)
+            p = np.asarray(pl_, np.float32)
+            assert np.isfinite(m).all()
+            # compare the DEQUANTIZED new rows (packed-byte diffs are
+            # nonlinear in the quantization error)
+            n = int(cache_pl.length[0])
+            for name, sc in (("k", "k_scale"), ("v", "v_scale")):
+                a = kvcache.dequant_kv(
+                    getattr(cache_mk, name), getattr(cache_mk, sc), 4)
+                bref = kvcache.dequant_kv(
+                    getattr(cache_pl, name), getattr(cache_pl, sc), 4)
+                d = np.abs(np.asarray(a - bref, np.float32)[:, :, :, :n]).max()
+                # the paths rope in f32 vs bf16: allow one quant level
+                # (round-tie flips) on top of the ~0.4% scale difference
+                lvl = float(np.asarray(getattr(cache_pl, sc)).max())
+                assert d < 1.6 * lvl + 1e-6, (name, d, lvl)
+            rel = np.linalg.norm(m - p) / max(np.linalg.norm(p), 1e-9)
+            assert rel < 5e-2, rel
+            cache = cache_mk
+            tok = jnp.argmax(mk, axis=-1).astype(jnp.int32)[:, None]
+
+    def test_fused_head_and_token(self):
+        """lm-head fusion: kernel logits must match the per-layer path's
+        final-norm + head GEMV, and the in-kernel greedy argmax must equal
+        argmax over those logits (first-occurrence tie-break included)."""
+        cfg = dataclasses.replace(
+            BASE, vocab_size=640, tie_word_embeddings=False)
+        params = init_random_params(cfg, jax.random.PRNGKey(0), quant_bits=4,
+                                    scale=0.05, lm_head_bits=4)
+        assert decode_model.supports_head(cfg, params)
+        cache = kvcache.create(cfg.num_layers, 1, cfg.num_kv_heads, 128,
+                               cfg.head_dim, quantized=True)
+        toks = jax.random.randint(jax.random.PRNGKey(1), (1, 9), 0,
+                                  cfg.vocab_size, jnp.int32)
+        _, cache = forward(params, cfg, toks, cache, interpret=False)
+        tok = jax.random.randint(jax.random.PRNGKey(2), (1, 1), 0,
+                                 cfg.vocab_size, jnp.int32)
+        for _ in range(3):
+            pl_, _ = forward(params, cfg, tok, cache, interpret=True,
+                             megakernel=False)
+            (mk, mtok), cache = forward(params, cfg, tok, cache,
+                                        interpret=True, return_token=True)
+            m = np.asarray(mk, np.float32)
+            p = np.asarray(pl_, np.float32)
+            assert np.isfinite(m).all()
+            assert int(mtok[0]) == int(np.argmax(m))
+            rel = np.linalg.norm(m - p) / max(np.linalg.norm(p), 1e-9)
+            assert rel < 2e-2, rel
+            tok = mtok[:, None]
+
+    def test_fused_head_batch2(self):
+        cfg = dataclasses.replace(
+            BASE, vocab_size=512, tie_word_embeddings=False)
+        params = init_random_params(cfg, jax.random.PRNGKey(0), quant_bits=4,
+                                    scale=0.05, lm_head_bits=4)
+        cache = kvcache.create(cfg.num_layers, 2, cfg.num_kv_heads, 128,
+                               cfg.head_dim, quantized=True)
+        toks = jax.random.randint(jax.random.PRNGKey(1), (2, 9), 0,
+                                  cfg.vocab_size, jnp.int32)
+        _, cache = forward(params, cfg, toks, cache, interpret=False)
+        tok = jax.random.randint(jax.random.PRNGKey(2), (2, 1), 0,
+                                 cfg.vocab_size, jnp.int32)
+        (mk, mtok), _ = forward(params, cfg, tok, cache, interpret=True,
+                                return_token=True)
+        m = np.asarray(mk, np.float32)
+        assert np.isfinite(m).all()
+        for bi in range(2):
+            assert int(mtok[bi]) == int(np.argmax(m[bi])), bi
 
     def test_decode_matches_prefill(self):
         # end-to-end: N megakernel decode steps == one fresh prefill
