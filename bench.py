@@ -95,7 +95,7 @@ def bench_preset(preset: str, pp: int = PP, tg: int = TG,
     rt = RuntimeConfig(
         max_seq_len=cap, prefill_chunk=min(pp, 512), decode_block=tg,
         sampler="greedy", kv_quant=True, kv_bits=kv_bits, quant_bits=4,
-        quant_block=128, lm_head_bits=4,
+        quant_block=128, lm_head_bits=4, prefill_act_bits=8,
     )
     params = init_random_params(
         c, jax.random.PRNGKey(0), quant_bits=rt.quant_bits,

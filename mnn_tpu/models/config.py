@@ -262,6 +262,10 @@ class RuntimeConfig:
     lm_head_bits: int = 0          # quantized output projection (0 = bf16;
                                    # int8 halves head HBM but costs VPU casts
                                    # — wins only when HBM-capacity-bound)
+    # prefill-only dynamic int8 activations (W4A8 on the int8 MXU; the
+    # reference's MNNDynamicQuant + int8 GEMM prefill path). Decode keeps
+    # bf16 activations — measured neutral there (HBM-bound, not MXU-bound)
+    prefill_act_bits: int = 16
     kv_quant: bool = True          # attention mode quantized-KV (MNN KVCacheInfo)
     kv_bits: int = 8               # 8 = int8 KV; 4 = packed int4 (TQ4 analog)
     kv_rotate: bool = False        # Hadamard-rotate KV before quantization

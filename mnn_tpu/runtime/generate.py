@@ -95,6 +95,7 @@ def prefill_chunk_embeds(
 
 def run_prefill_embeds(params, config, rt: RuntimeConfig, embeds, cache):
     """Chunked, bucketed prefill over [B, T, hidden] embeddings."""
+    params = prefill_params_view(params, rt)
     t = embeds.shape[1]
     logits = None
     off = 0
@@ -109,8 +110,28 @@ def run_prefill_embeds(params, config, rt: RuntimeConfig, embeds, cache):
     return logits, cache
 
 
+def prefill_params_view(params: Params, rt: RuntimeConfig) -> Params:
+    """Apply the prefill activation-precision view (W4A8): same packed
+    weights, act_bits=8 static metadata, so dequant_matmul routes prefill
+    GEMMs through the int8-MXU kernel. Measured +3-5% prefill on chip;
+    decode keeps bf16 activations (neutral there). ≈ the reference's
+    MergeDynamicQuant prefill-only dynamic quantization."""
+    if rt.prefill_act_bits != 8:
+        return params
+
+    def a8(ql):
+        return None if ql is None else dataclasses.replace(ql, act_bits=8)
+
+    lay = params.layers
+    lay = dataclasses.replace(
+        lay, wqkv=a8(lay.wqkv), wo=a8(lay.wo), wgu=a8(lay.wgu),
+        wdown=a8(lay.wdown))
+    return dataclasses.replace(params, layers=lay)
+
+
 def run_prefill(params, config, rt: RuntimeConfig, tokens, cache):
     """Chunked, bucketed prefill over [B, T] tokens."""
+    params = prefill_params_view(params, rt)
     t = tokens.shape[1]
     logits = None
     off = 0
