@@ -105,6 +105,59 @@ class Llm:
             quantized=self.rt.kv_quant, kv_bits=self.rt.kv_bits,
         )
 
+    # -- runtime introspection (reference: Interpreter::getSessionInfo
+    # MEMORY / FLOPS / BACKENDS, include/MNN/Interpreter.hpp:447-476) ------
+
+    def info(self) -> dict:
+        """Live session facts: memory (params/KV/HBM), per-token FLOPs,
+        backend. ≈ `getSessionInfo` — the reference reports session MB,
+        flops, and resolved backends; here memory is exact buffer
+        accounting plus the device allocator's view when it exposes one."""
+        import jax
+
+        def tree_bytes(t):
+            return int(sum(
+                a.nbytes for a in jax.tree_util.tree_leaves(t)
+                if hasattr(a, "nbytes")))
+
+        c = self.config
+        flops_tok = 2 * c.num_layers * (
+            c.hidden_size * (c.num_heads + 2 * c.num_kv_heads) * c.head_dim
+            + c.q_dim * c.hidden_size)
+        if c.is_moe:
+            mi = c.moe_intermediate_size
+            flops_tok += 2 * c.num_layers * c.num_experts_per_tok \
+                * 3 * c.hidden_size * mi
+            if c.shared_expert_intermediate_size:
+                flops_tok += 2 * c.num_layers * 3 * c.hidden_size \
+                    * c.shared_expert_intermediate_size
+        else:
+            flops_tok += 2 * c.num_layers * 3 * c.hidden_size \
+                * c.intermediate_size
+        flops_tok += 2 * c.hidden_size * c.vocab_size
+        dev = jax.devices()[0]
+        hbm = None
+        try:
+            st = dev.memory_stats()
+            if st:
+                hbm = {"bytes_in_use": st.get("bytes_in_use"),
+                       "peak_bytes_in_use": st.get("peak_bytes_in_use"),
+                       "bytes_limit": st.get("bytes_limit")}
+        except Exception:
+            pass
+        return {
+            "model": c.name,
+            "backend": jax.default_backend(),
+            "device": dev.device_kind,
+            "param_bytes": tree_bytes(self.params),
+            "kv_cache_bytes": tree_bytes(self.cache),
+            "kv_bits": self.cache.bits,
+            "kv_capacity": self.cache.capacity,
+            "context_len": self.context_len,
+            "flops_per_token": int(flops_tok),
+            "hbm": hbm,
+        }
+
     # -- KV-cache control (reference: setKVCacheInfo / eraseHistory) -------
 
     def reset(self):

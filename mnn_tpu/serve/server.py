@@ -53,6 +53,9 @@ def make_handler(llm, lock: threading.Lock, engine=None):
                     "prefill_tok_s": round(p.prefill_tok_s, 2),
                     "decode_tok_s": round(p.decode_tok_s, 2),
                     "context_len": llm.context_len,
+                    # ≈ getSessionInfo MEMORY/FLOPS/BACKENDS
+                    # (Interpreter.hpp:447-476)
+                    **llm.info(),
                 })
             else:
                 self._json(404, {"error": "not found"})
