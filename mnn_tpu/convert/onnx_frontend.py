@@ -83,6 +83,10 @@ def _attrs(node: "O.NodeProto") -> Dict[str, Any]:
             out[a.name] = [int(v) for v in a.ints]
         elif a.type == O.AttributeProto.STRINGS:
             out[a.name] = [s.decode() for s in a.strings]
+        elif a.type == O.AttributeProto.GRAPH:
+            out[a.name] = a.g
+        elif a.type == O.AttributeProto.GRAPHS:
+            out[a.name] = list(a.graphs)
         else:
             out[a.name] = None
     return out
@@ -898,9 +902,245 @@ def _quantize_linear(ctx, node, x, scale, zero=None):
 # -- driver ------------------------------------------------------------------
 
 
+# -- control flow + sampling tail (reference: tools/converter/source/onnx/
+# IfOnnx/LoopOnnx/GridSampleOnnx/ROIAlignOnnx; coverage notes in
+# docs/onnx_coverage.md) -----------------------------------------------------
+
+@op("CastLike")
+def _cast_like(ctx, node, a, b):
+    if _is_static(a) and _is_static(b):
+        return np.asarray(a).astype(np.asarray(b).dtype)
+    return jnp.asarray(a).astype(jnp.asarray(b).dtype)
+
+
+@op("If")
+def _if_op(ctx, node, cond):
+    at = _attrs(node)
+    tb, eb = at["then_branch"], at["else_branch"]
+    if _is_static(cond):
+        outs = ctx.run_graph(tb if bool(np.asarray(cond).reshape(()))
+                             else eb, {})
+        return outs if len(outs) > 1 else outs[0]
+    # traced condition -> lax.cond; both branches must produce matching
+    # shapes/dtypes (the ONNX spec requires it)
+    outs = jax.lax.cond(
+        jnp.asarray(cond).reshape(()).astype(bool),
+        lambda: tuple(jnp.asarray(v) for v in ctx.run_graph(tb, {})),
+        lambda: tuple(jnp.asarray(v) for v in ctx.run_graph(eb, {})),
+    )
+    return outs if len(outs) > 1 else outs[0]
+
+
+@op("Loop")
+def _loop(ctx, node, m=None, cond=None, *carried):
+    """For-loop semantics: a STATIC trip count M runs as lax.scan with the
+    body's scan outputs stacked. Dynamic early-exit (a traced or
+    body-computed condition) has data-dependent output shapes, which XLA
+    cannot express — deliberately unsupported (docs/onnx_coverage.md)."""
+    at = _attrs(node)
+    body = at["body"]
+    if m is None:
+        raise NotImplementedError("Loop without trip count (while-style)")
+    if cond is not None and not (_is_static(cond)
+                                 and bool(np.asarray(cond).reshape(()))):
+        if _is_static(cond):
+            return tuple(jnp.asarray(v) for v in carried)  # cond false
+        raise NotImplementedError("Loop with a traced condition")
+    trip = int(_static_ints(m, "Loop trip count").reshape(()))
+    names = [vi.name for vi in body.input]
+    n_carry = len(carried)
+    n_scan = len(body.output) - 1 - n_carry
+
+    def body_fn(carry, i):
+        bound = {names[0]: i, names[1]: jnp.asarray(True)}
+        bound.update(zip(names[2:], carry))
+        vals = ctx.run_graph(body, bound)
+        vals = tuple(jnp.asarray(v) for v in vals)
+        return vals[1:1 + n_carry], vals[1 + n_carry:]
+
+    carry0 = tuple(jnp.asarray(v) for v in carried)
+    carry, ys = jax.lax.scan(body_fn, carry0,
+                             jnp.arange(trip, dtype=jnp.int32))
+    out = tuple(carry) + tuple(ys[:n_scan] if n_scan else ())
+    return out if len(out) > 1 else out[0]
+
+
+@op("Scan")
+def _scan_op(ctx, node, *args):
+    at = _attrs(node)
+    body = at["body"]
+    k = at["num_scan_inputs"]
+    n_state = len(args) - k
+    states = tuple(jnp.asarray(a) for a in args[:n_state])
+    xs = tuple(jnp.asarray(a) for a in args[n_state:])
+    in_dirs = at.get("scan_input_directions") or [0] * k
+    xs = tuple(jnp.flip(x, 0) if d else x for x, d in zip(xs, in_dirs))
+    names = [vi.name for vi in body.input]
+
+    def body_fn(carry, sl):
+        bound = dict(zip(names, list(carry) + list(sl)))
+        vals = ctx.run_graph(body, bound)
+        vals = tuple(jnp.asarray(v) for v in vals)
+        return vals[:n_state], vals[n_state:]
+
+    carry, ys = jax.lax.scan(body_fn, states, xs)
+    n_sout = len(body.output) - n_state
+    out_dirs = at.get("scan_output_directions") or [0] * n_sout
+    ys = tuple(jnp.flip(y, 0) if d else y for y, d in zip(ys, out_dirs))
+    out = tuple(carry) + tuple(ys)
+    return out if len(out) > 1 else out[0]
+
+
+def _bilinear_gather(img, ix, iy, border):
+    """img [C, H, W]; ix/iy [...] sample coords. zeros or border padding."""
+    h, w = img.shape[1], img.shape[2]
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    wx = ix - x0
+    wy = iy - y0
+    out = 0.0
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xi = x0 + dx
+            yi = y0 + dy
+            wgt = (wx if dx else 1 - wx) * (wy if dy else 1 - wy)
+            xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+            yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+            v = img[:, yc, xc]                      # [C, ...]
+            if not border:  # zeros padding: mask out-of-range taps
+                ok = ((xi >= 0) & (xi <= w - 1) & (yi >= 0)
+                      & (yi <= h - 1)).astype(img.dtype)
+                v = v * ok
+            out = out + v * wgt.astype(img.dtype)
+    return out
+
+
+@op("GridSample")
+def _grid_sample(ctx, node, x, grid):
+    """2D bilinear/nearest; padding zeros|border; align_corners."""
+    at = _attrs(node)
+    mode = at.get("mode", "bilinear")
+    padding = at.get("padding_mode", "zeros")
+    align = bool(at.get("align_corners", 0))
+    if mode not in ("bilinear", "linear", "nearest"):
+        raise NotImplementedError(f"GridSample mode {mode}")
+    if padding not in ("zeros", "border"):
+        raise NotImplementedError(f"GridSample padding {padding}")
+    x = jnp.asarray(x)
+    grid = jnp.asarray(grid).astype(jnp.float32)
+    n, ch, h, w = x.shape
+    gx = grid[..., 0]
+    gy = grid[..., 1]
+    if align:
+        ix = (gx + 1) * (w - 1) / 2
+        iy = (gy + 1) * (h - 1) / 2
+    else:
+        ix = ((gx + 1) * w - 1) / 2
+        iy = ((gy + 1) * h - 1) / 2
+
+    def one(img, ix, iy):
+        if mode == "nearest":
+            xi = jnp.round(ix)
+            yi = jnp.round(iy)
+            xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+            yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+            v = img[:, yc, xc]
+            if padding == "zeros":
+                ok = ((xi >= 0) & (xi <= w - 1) & (yi >= 0)
+                      & (yi <= h - 1)).astype(img.dtype)
+                v = v * ok
+            return v
+        return _bilinear_gather(img, ix, iy, padding == "border")
+
+    return jax.vmap(one)(x, ix, iy)
+
+
+@op("RoiAlign")
+def _roi_align(ctx, node, x, rois, batch_indices):
+    """avg/max RoiAlign (reference ROIAlignOnnx). sampling_ratio=0 (the
+    spec's adaptive, data-dependent grid) is approximated with 2 samples
+    per bin — torchvision uses ceil(roi_size/out_size), which is
+    data-dependent and unexpressible with static shapes."""
+    at = _attrs(node)
+    oh = at.get("output_height", 1)
+    ow = at.get("output_width", 1)
+    sr = at.get("sampling_ratio", 0) or 2
+    scale = at.get("spatial_scale", 1.0)
+    mode = at.get("mode", "avg")
+    half = at.get("coordinate_transformation_mode", "half_pixel")         == "half_pixel"
+    x = jnp.asarray(x)
+    rois = jnp.asarray(rois).astype(jnp.float32)
+    bi = jnp.asarray(batch_indices).astype(jnp.int32)
+
+    def one(roi, b):
+        img = x[b]                                   # [C, H, W]
+        off = 0.5 if half else 0.0
+        x1 = roi[0] * scale - off
+        y1 = roi[1] * scale - off
+        x2 = roi[2] * scale - off
+        y2 = roi[3] * scale - off
+        rw = x2 - x1
+        rh = y2 - y1
+        if not half:
+            rw = jnp.maximum(rw, 1.0)
+            rh = jnp.maximum(rh, 1.0)
+        bw = rw / ow
+        bh = rh / oh
+        # sample grid: (oh*sr) x (ow*sr) bilinear taps, reduced per bin
+        sy = y1 + (jnp.arange(oh * sr) + 0.5) * bh / sr
+        sx = x1 + (jnp.arange(ow * sr) + 0.5) * bw / sr
+        iy, ix = jnp.meshgrid(sy, sx, indexing="ij")
+        v = _bilinear_gather(img, ix, iy, border=True)   # [C, oh*sr, ow*sr]
+        v = v.reshape(v.shape[0], oh, sr, ow, sr)
+        if mode == "max":
+            return v.max(axis=(2, 4))
+        return v.mean(axis=(2, 4))
+
+    return jax.vmap(one)(rois, bi)
+
+
 def load_onnx(path: str) -> "O.ModelProto":
     with open(path, "rb") as f:
         return O.ModelProto.FromString(f.read())
+
+
+class _Ctx:
+    """Execution context handed to converters: the live env (for
+    control-flow subgraphs' lexical outer-scope captures) + a subgraph
+    runner. Regular ops ignore it."""
+
+    __slots__ = ("env",)
+
+    def __init__(self, env):
+        self.env = env
+
+    def run_graph(self, graph, bound):
+        """Run a GraphProto with `bound` mapping its formal inputs;
+        outer names resolve from the calling env (ONNX lexical scoping).
+        Returns the subgraph's output values (tuple)."""
+        sub = dict(self.env)
+        for t in graph.initializer:
+            sub[t.name] = tensor_to_np(t)
+        sub.update(bound)
+        _run_nodes(list(graph.node), sub)
+        return tuple(sub[vi.name] for vi in graph.output)
+
+
+def _run_nodes(nodes, env):
+    ctx = _Ctx(env)
+    for node in nodes:
+        args = [env[i] if i else None for i in node.input]
+        # drop trailing optional Nones (onnx encodes absent optionals
+        # as empty-string inputs)
+        while args and args[-1] is None:
+            args.pop()
+        out = _OPS[node.op_type](ctx, node, *args)
+        if isinstance(out, tuple):
+            for nm, v in zip(node.output, out):
+                env[nm] = v
+        else:
+            env[node.output[0]] = out
+    return env
 
 
 def convert_onnx(model):
@@ -925,12 +1165,23 @@ def convert_onnx(model):
     input_names = [vi.name for vi in g.input if vi.name not in consts
                    and vi.name not in params]
     output_names = list(vi.name for vi in g.output)
-    unsupported = sorted(
-        {n.op_type for n in g.node if n.op_type not in _OPS})
+
+    def all_ops(graph):  # recurse into If/Loop/Scan subgraphs
+        for n in graph.node:
+            yield n.op_type
+            for a in n.attribute:
+                if a.type == O.AttributeProto.GRAPH:
+                    yield from all_ops(a.g)
+                elif a.type == O.AttributeProto.GRAPHS:
+                    for sub in a.graphs:
+                        yield from all_ops(sub)
+
+    unsupported = sorted({t for t in all_ops(g) if t not in _OPS})
     if unsupported:
         raise NotImplementedError(
             f"onnx ops not supported by the frontend: {unsupported} "
-            "(extend mnn_tpu.convert.onnx_frontend._OPS)")
+            "(extend mnn_tpu.convert.onnx_frontend._OPS, or register a "
+            "plugin via mnn_tpu.plugin.register_op)")
 
     nodes = list(g.node)
 
@@ -940,18 +1191,7 @@ def convert_onnx(model):
         env[""] = None  # optional inputs
         for name, val in zip(input_names, inputs):
             env[name] = val
-        for node in nodes:
-            args = [env[i] if i else None for i in node.input]
-            # drop trailing optional Nones (onnx encodes absent optionals
-            # as empty-string inputs)
-            while args and args[-1] is None:
-                args.pop()
-            out = _OPS[node.op_type](None, node, *args)
-            if isinstance(out, tuple):
-                for nm, v in zip(node.output, out):
-                    env[nm] = v
-            else:
-                env[node.output[0]] = out
+        _run_nodes(nodes, env)
         outs = tuple(env[n] for n in output_names)
         return outs[0] if len(outs) == 1 else outs
 
