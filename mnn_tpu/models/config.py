@@ -98,11 +98,15 @@ class ModelConfig:
             if lt:
                 fulls = [i for i, t in enumerate(lt) if t == "full_attention"]
                 swa_pattern = (fulls[0] + 1) if fulls else len(lt) + 1
-                for j, i in enumerate(fulls):
-                    if (i + 1) % swa_pattern:
-                        raise NotImplementedError(
-                            "irregular gemma3 layer_types (non-periodic "
-                            "full-attention layers)")
+                # BOTH directions: every full layer at a periodic position
+                # AND every periodic position full — else e.g.
+                # fulls=[2,5,11] would silently treat layer 8 as global
+                want = {i for i in range(len(lt))
+                        if (i + 1) % swa_pattern == 0}
+                if set(fulls) != want:
+                    raise NotImplementedError(
+                        "irregular gemma3 layer_types (non-periodic "
+                        "full-attention layers)")
             else:
                 swa_pattern = int(d.get("sliding_window_pattern") or 6)
             rope_local_theta = float(d.get("rope_local_base_freq", 10000.0))

@@ -329,6 +329,13 @@ class BatchEngine:
             return False
         if req.status == Status.CANCELLED:
             return True
+        if req.deadline is not None and time.perf_counter() > req.deadline:
+            # expired while queued: do not pay prefill + a decode block
+            # just to time it out on the next step
+            req.status = Status.TIMEOUT
+            req.finished_at = time.perf_counter()
+            req.out.put(None)
+            return True
         slot = free[0]
         req.slot = slot
         req.status = Status.PREFILL
@@ -527,11 +534,18 @@ class BatchEngine:
             data["sampler_recent"] = np.asarray(self.state.recent)
             data["sampler_pos"] = np.asarray(self.state.pos)
 
+            snap_now = time.perf_counter()
+
             def req_meta(r: Request):
                 return {"rid": r.rid, "token_ids": r.token_ids,
                         "generated": r.generated,
                         "max_new_tokens": r.max_new_tokens,
                         "status": r.status.value, "slot": r.slot,
+                        # deadlines are wall-clock in THIS process's
+                        # timebase: persist the remaining budget, restored
+                        # relative to resume time
+                        "remaining_s": (max(r.deadline - snap_now, 0.0)
+                                        if r.deadline is not None else None),
                         "logit_bias": (list(map(list, r.logit_bias))
                                        if r.logit_bias else None)}
 
@@ -600,11 +614,16 @@ class BatchEngine:
                 eng.state, recent=eng._shard(eng.state.recent, 0))
         meta = _json.loads(str(z["meta"]))
 
+        resume_now = time.perf_counter()
+
         def mk_req(m) -> Request:
             lb = m.get("logit_bias")
+            rem = m.get("remaining_s")
             r = Request(rid=m["rid"], token_ids=list(m["token_ids"]),
                         max_new_tokens=m["max_new_tokens"],
                         status=Status(m["status"]), slot=m["slot"],
+                        deadline=(resume_now + rem) if rem is not None
+                        else None,
                         logit_bias=tuple(
                             (int(t), float(b)) for t, b in lb) if lb
                         else None)

@@ -374,10 +374,13 @@ def compact_tail(cache: KVCache, start, sel, m) -> KVCache:
         rows = jnp.take(a, start + sel, axis=axis_s)
         return jax.lax.dynamic_update_slice_in_dim(a, rows, start, axis_s)
 
+    # only batch row 0's tail is compacted (tree verify is batch-1):
+    # touch only its length so a future batch>1 caller can't silently
+    # corrupt other sequences' lengths
     upd = dict(
         k=move(cache.k, 3), v=move(cache.v, 3),
-        length=jnp.minimum(start + m, cache.capacity)
-        * jnp.ones_like(cache.length),
+        length=cache.length.at[0].set(
+            jnp.minimum(start + m, cache.capacity)),
     )
     if cache.quantized:
         upd["k_scale"] = move(cache.k_scale, 3)

@@ -65,8 +65,8 @@ def qwen2_preprocess(image: np.ndarray, *, patch: int = 14, merge: int = 2,
     h = _round_align(ih, align)
     w = _round_align(iw, align)
     px = _resize_norm(image, h, w)                      # [h, w, 3]
-    frames = np.stack([px, px])                          # temporal fill
-    gt, gh, gw = temporal // temporal, h // patch, w // patch
+    frames = np.stack([px] * temporal)                   # temporal fill
+    gt, gh, gw = 1, h // patch, w // patch
     pt = frames.reshape(gt, temporal, h // patch, patch, w // patch,
                         patch, 3)
     pt = pt.transpose(0, 2, 4, 1, 3, 5, 6)

@@ -108,3 +108,84 @@ class TestPrefixCachePath:
         assert os.path.exists(path)
         _, toks = load_prefix(path, cache)
         assert len(toks) == n
+
+
+class TestDeadlines:
+    """Round-3 advisor findings: queued requests must expire at their
+    deadline without paying prefill, and deadlines must survive
+    snapshot/resume as a remaining-time budget."""
+
+    def test_waiting_queue_deadline_expires_on_admission(self, params):
+        eng = BatchEngine(CFG, params, _rt(max_batch=1))
+        blocker = eng.submit([1, 2, 3], max_new_tokens=8)
+        eng.step()                       # blocker occupies the only slot
+        stale = eng.submit([4, 5], max_new_tokens=8, timeout_s=0.01)
+        import time
+
+        time.sleep(0.05)
+        # drain the blocker so a slot frees and admission drains the queue
+        for _ in range(8):
+            eng.step()
+        assert stale.status == Status.TIMEOUT
+        assert stale.out.get_nowait() is None   # client sentinel delivered
+        assert stale.slot == -1                 # never admitted
+
+    def test_deadline_survives_resume(self, params, tmp_path):
+        import json
+
+        eng = BatchEngine(CFG, params, _rt(max_batch=1))
+        req = eng.submit([1, 2, 3], max_new_tokens=8, timeout_s=120.0)
+        eng.step()
+        path = str(tmp_path / "snap.npz")
+        eng.snapshot(path)
+        z = np.load(path, allow_pickle=False)
+        meta = json.loads(str(z["meta"]))
+        slot_meta = [m for m in meta["slots"] if m is not None][0]
+        assert 0 < slot_meta["remaining_s"] <= 120.0
+        eng2 = BatchEngine.resume(path, CFG, params, _rt(max_batch=1))
+        live = [r for r in eng2.slots if r is not None][0]
+        assert live.deadline is not None
+
+
+class TestCompactTailLength:
+    def test_only_row0_length_touched(self):
+        from mnn_tpu.runtime import kvcache
+
+        cache = kvcache.create(2, 2, 2, 16, 8, quantized=False)
+        import dataclasses
+
+        cache = dataclasses.replace(
+            cache, length=jnp.asarray([6, 11], jnp.int32))
+        out = kvcache.compact_tail(cache, 4, jnp.asarray([0, 2, 3]), 2)
+        assert int(out.length[0]) == 6          # 4 + m
+        assert int(out.length[1]) == 11         # other row untouched
+
+
+class TestGemma3LayerTypes:
+    def test_bidirectional_validation(self):
+        from mnn_tpu.models.config import ModelConfig
+
+        base = dict(vocab_size=64, hidden_size=32, intermediate_size=64,
+                    num_hidden_layers=12, num_attention_heads=2,
+                    num_key_value_heads=1, head_dim=16,
+                    architectures=["Gemma3ForCausalLM"])
+        ok = dict(base, layer_types=[
+            "sliding_attention" if (i + 1) % 3 else "full_attention"
+            for i in range(12)])
+        assert ModelConfig.from_hf_config(ok).swa_pattern == 3
+        # fulls at 2,5,11 -> inferred pattern 3 but position 8 is sliding
+        lt = ["sliding_attention"] * 12
+        for i in (2, 5, 11):
+            lt[i] = "full_attention"
+        with pytest.raises(NotImplementedError):
+            ModelConfig.from_hf_config(dict(base, layer_types=lt))
+
+
+class TestVisionTemporal:
+    def test_temporal_param_respected(self):
+        from mnn_tpu.runtime.vision_preprocess import qwen2_preprocess
+
+        img = np.zeros((28, 28, 3), np.uint8)
+        for t in (1, 2, 3):
+            out = qwen2_preprocess(img, temporal=t)
+            assert out.pixels.shape[1] == t * 14 * 14 * 3, t
