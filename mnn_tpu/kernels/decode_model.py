@@ -95,6 +95,7 @@ class _Plan:
     bkv: int      # attention KV tile
     nkv: int
     bnv: int = 0  # lm-head vocab-column chunk (0 = head not fused)
+    hslots: int = 2  # head slot depth (3 when dedicated slots have room)
     mlp_manual: bool = True  # manual-DMA MLP loop vs revolving grid phases
 
     @property
@@ -276,12 +277,23 @@ def _plan(c, layers, cache, batch: int, head=None,
                             best = (key, bnq, bkwo, ci, bkv, bnv, manual)
     if best is None:
         return None
-    _, bnq, bkwo, ci, bkv, bnv, manual = best
+    key, bnq, bkwo, ci, bkv, bnv, manual = best
+    t_best = key[-1]
+    hslots = 2
+    if head is not None and not head_reuse and bnv:
+        # a third head slot deepens the manual DMA pipeline (absorbs
+        # per-chunk turnaround, measured ~34us of 122 on the 0.5B head)
+        nbh_p = round_up(nbh, 8)
+        slot = h // pack_h * bnv + 2 * nbh_p * bnv * sb_h
+        # the extra slot may dip 1MB into the physical headroom above the
+        # solver budget (16MB chip, 14MB budget) — still leaves 1MB margin
+        if t_best + slot <= VMEM_BUDGET + (1 << 20):
+            hslots = 3
     return _Plan(
         bnq=bnq, n_qkv=nq // bnq,
         bkwo=bkwo, n_wo=dq // bkwo,
         ci=ci, n_mlp=i_dim // ci,
-        bkv=bkv, nkv=s // bkv, bnv=bnv, mlp_manual=manual,
+        bkv=bkv, nkv=s // bkv, bnv=bnv, hslots=hslots, mlp_manual=manual,
     )
 
 
@@ -901,21 +913,25 @@ def _kernel(
                 lo_scr.at[slot], logits_ref.at[:, pl.ds(st, bnv)],
                 out_sems.at[slot])
 
+        S_h = plan.hslots if not head_reuse else 2
+
         @pl.when(jnp.logical_and(l_raw == nl, p == 0))
         def _head_phase():
-            for dma in dma_in(0, 0):
-                dma.start()
+            for c0 in range(min(S_h - 1, n_chunks)):
+                for dma in dma_in(c0, c0):
+                    dma.start()
             rn_scr[...] = _rms(x_scr[...], fnorm_ref[0:1, :], eps)
             best_scr[...] = jnp.full((x_scr.shape[0], 128), NEG_INF,
                                      jnp.float32)
             besti_scr[...] = jnp.zeros((x_scr.shape[0], 128), jnp.int32)
 
             def chunk_body(c_i, _):
-                slot = jax.lax.rem(c_i, 2)
+                slot = jax.lax.rem(c_i, S_h)
 
-                @pl.when(c_i + 1 < n_chunks)
+                @pl.when(c_i + S_h - 1 < n_chunks)
                 def _():
-                    for dma in dma_in(c_i + 1, 1 - slot):
+                    nslot = jax.lax.rem(c_i + S_h - 1, S_h)
+                    for dma in dma_in(c_i + S_h - 1, nslot):
                         dma.start()
 
                 for dma in dma_in(c_i, slot):
@@ -1349,8 +1365,9 @@ def fused_decode_model(
         ]
         if not head_reuse:
             scratch += [
-                pltpu.VMEM((2, h // pack_h, plan.bnv), jnp.int8),
-                pltpu.VMEM((2, 2 * nbh_pad, plan.bnv), head.scale.dtype),
+                pltpu.VMEM((plan.hslots, h // pack_h, plan.bnv), jnp.int8),
+                pltpu.VMEM((plan.hslots, 2 * nbh_pad, plan.bnv),
+                           head.scale.dtype),
             ]
         scratch += [
             pltpu.VMEM((2, b8, plan.bnv), jnp.float32),            # lo slots
@@ -1358,7 +1375,7 @@ def fused_decode_model(
             pltpu.VMEM((b8, 128), jnp.int32),                      # besti
         ]
         if not head_reuse:
-            scratch += [pltpu.SemaphoreType.DMA((2, 2))]
+            scratch += [pltpu.SemaphoreType.DMA((plan.hslots, 2))]
         scratch += [pltpu.SemaphoreType.DMA((2,))]
         head_args = (
             final_norm.astype(jnp.float32).reshape(1, h),
