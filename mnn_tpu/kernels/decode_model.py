@@ -307,7 +307,7 @@ def supports(config, params, cache, batch: int) -> bool:
     # pattern + dual rope still runs the unrolled per-layer path
     if c.mlp_act not in ("silu", "gelu_tanh") or c.swa_pattern:
         return False
-    if cache.bits not in (4, 8, 16):
+    if cache.bits not in (4, 8, 16) or getattr(cache, "codebook", False):
         return False
     if batch > 8:
         return False

@@ -271,7 +271,8 @@ class RuntimeConfig:
     # bf16 activations — measured neutral there (HBM-bound, not MXU-bound)
     prefill_act_bits: int = 16
     kv_quant: bool = True          # attention mode quantized-KV (MNN KVCacheInfo)
-    kv_bits: int = 8               # 8 = int8 KV; 4 = packed int4 (TQ4 analog)
+    kv_bits: int = 8               # 8 = int8 KV; 4 = packed int4; 3 = TQ3
+    kv_codebook: bool = False      # at kv_bits=4: TQ4 Lloyd-Max codebook
     kv_rotate: bool = False        # Hadamard-rotate KV before quantization
     max_seq_len: int = 4096        # kvcache capacity per sequence
     max_batch: int = 1

@@ -260,7 +260,8 @@ def _gated_act(c: ModelConfig, gu: jax.Array) -> jax.Array:
 
 
 def _attention_xla(c: ModelConfig, q, k_cache, v_cache, k_scale, v_scale,
-                   kv_len, lengths, window, bits, tree=None):
+                   kv_len, lengths, window, bits, tree=None,
+                   codebook=False):
     """Dense masked attention in plain XLA — the path for configs the
     Pallas kernels don't cover (gemma2 score softcapping, per-layer
     alternating windows). `window` may be traced (scan-carried layer
@@ -268,8 +269,8 @@ def _attention_xla(c: ModelConfig, q, k_cache, v_cache, k_scale, v_scale,
     pre-append length (continuous batching has ragged slots)."""
     b, h, t, d = q.shape
     if k_cache.dtype == jnp.int8:
-        kf = kvcache.dequant_kv(k_cache, k_scale, bits)
-        vf = kvcache.dequant_kv(v_cache, v_scale, bits)
+        kf = kvcache.dequant_kv(k_cache, k_scale, bits, codebook=codebook)
+        vf = kvcache.dequant_kv(v_cache, v_scale, bits, codebook=codebook)
     else:
         kf, vf = k_cache, v_cache
     hkv = kf.shape[1]
@@ -490,13 +491,17 @@ def _attention(
     start: jax.Array,         # [] write offset (= length before append)
     interpret: Optional[bool],
     bits: int = 8,
+    codebook: bool = False,
 ):
     b, h, t, d = q.shape
-    if bits == 3:
-        # TQ3 codebook storage: unpack once to bf16 and attend on values
-        # (the sub-byte layout is for HBM capacity, not kernel reads)
-        k_cache = kvcache.dequant_kv(k_cache, k_scale, 3)
-        v_cache = kvcache.dequant_kv(v_cache, v_scale, 3)
+    if bits == 3 or (bits == 4 and codebook):
+        # TQ3/TQ4 codebook storage: unpack once to bf16 and attend on
+        # values (the sub-byte layout is for HBM capacity, not kernel
+        # reads; the uniform-int4 kernel unpack cannot apply a LUT)
+        k_cache = kvcache.dequant_kv(k_cache, k_scale, bits,
+                                     codebook=codebook)
+        v_cache = kvcache.dequant_kv(v_cache, v_scale, bits,
+                                     codebook=codebook)
         k_scale = v_scale = None
         bits = 16
     if t == 1:
@@ -509,8 +514,8 @@ def _attention(
         # Prefill reads freshly appended bf16 K/V via their dequantized form:
         # dequantize the whole cache window once (prefill is compute-bound,
         # and XLA fuses the dequant into the attention input pipeline).
-        kf = kvcache.dequant_kv(k_cache, k_scale, bits)
-        vf = kvcache.dequant_kv(v_cache, v_scale, bits)
+        kf = kvcache.dequant_kv(k_cache, k_scale, bits, codebook=codebook)
+        vf = kvcache.dequant_kv(v_cache, v_scale, bits, codebook=codebook)
     else:
         kf, vf = k_cache, v_cache
     return flash_attention(
@@ -585,7 +590,8 @@ def _forward_unrolled(
             return xh[:, None].astype(x.dtype), new_cache, logits, token
 
     fused = (t == 1 and use_pallas(interpret)
-             and cache.bits not in (3, 4) and not c.kv_rotate)
+             and cache.bits not in (3, 4) and not cache.codebook
+             and not c.kv_rotate)
     if fused:
         # full-width rope phases for the fused kernel (neox halves tiled 2x)
         cos_f = jnp.concatenate([cos[:, 0], cos[:, 0]], axis=-1)  # [B, D]
@@ -647,10 +653,14 @@ def _forward_unrolled(
                 cache = kvcache.append_decode_stacked(
                     cache, i, k, v, cache.length
                 )
-                if cache.bits == 3:
-                    # TQ3 codebook storage: unpack this layer to bf16 values
-                    kf = kvcache.dequant_kv(cache.k[i], cache.k_scale[i], 3)
-                    vf = kvcache.dequant_kv(cache.v[i], cache.v_scale[i], 3)
+                if cache.bits == 3 or cache.codebook:
+                    # TQ3/TQ4 codebook: unpack this layer to bf16 values
+                    kf = kvcache.dequant_kv(cache.k[i], cache.k_scale[i],
+                                            cache.bits,
+                                            codebook=cache.codebook)
+                    vf = kvcache.dequant_kv(cache.v[i], cache.v_scale[i],
+                                            cache.bits,
+                                            codebook=cache.codebook)
                     att = decode_attention(
                         q[:, :, 0], kf, vf, kv_len, interpret=interpret,
                         window=c.sliding_window, sink=c.attention_sink,
@@ -669,6 +679,7 @@ def _forward_unrolled(
                     None if cache.k_scale is None else cache.k_scale[i],
                     None if cache.v_scale is None else cache.v_scale[i],
                     kv_len, start, interpret, bits=cache.bits,
+                    codebook=cache.codebook,
                 )
             if c.kv_rotate:
                 att = rotate_heads(att, inverse=True)
@@ -794,7 +805,8 @@ def forward(
         gemma_fast = (
             gemma_like and t == 1 and not c.is_moe and tree is None
             and use_pallas(interpret) and tp_axis is None and lora is None
-            and cache.bits not in (3, 4) and not c.kv_rotate
+            and cache.bits not in (3, 4) and not cache.codebook
+            and not c.kv_rotate
         )
         layer_scan = ((c.is_moe and not moe_fast)
                       or (gemma_like and not gemma_fast)
@@ -877,15 +889,18 @@ def forward(
         if t == 1:
             # decode: each slot writes at its own offset (continuous batching)
             k_c, v_c, ks_c, vs_c = kvcache.append_decode_layer(
-                k_c, v_c, ks_c, vs_c, k, v, cache.length, bits=cache.bits
+                k_c, v_c, ks_c, vs_c, k, v, cache.length, bits=cache.bits,
+                codebook=cache.codebook,
             )
         else:
             k_c, v_c, ks_c, vs_c = kvcache.append_layer(
-                k_c, v_c, ks_c, vs_c, k, v, start, bits=cache.bits
+                k_c, v_c, ks_c, vs_c, k, v, start, bits=cache.bits,
+                codebook=cache.codebook,
             )
         if tree is not None:
             att = _attention_xla(c, q, k_c, v_c, ks_c, vs_c, kv_len,
-                                 cache.length, 0, cache.bits, tree=tree)
+                                 cache.length, 0, cache.bits, tree=tree,
+                                 codebook=cache.codebook)
         elif gemma_like:
             # per-layer window: gemma2 slides on even layers only; gemma3
             # slides everywhere except every swa_pattern-th (global) layer
@@ -896,10 +911,12 @@ def forward(
                 window = jnp.where((li + 1) % c.swa_pattern == 0, 0,
                                    c.sliding_window)
             att = _attention_xla(c, q, k_c, v_c, ks_c, vs_c, kv_len,
-                                 cache.length, window, cache.bits)
+                                 cache.length, window, cache.bits,
+                                 codebook=cache.codebook)
         else:
             att = _attention(c, q, k_c, v_c, ks_c, vs_c, kv_len, start,
-                             interpret, bits=cache.bits)
+                             interpret, bits=cache.bits,
+                             codebook=cache.codebook)
         if c.kv_rotate:
             att = rotate_heads(att, inverse=True)
         att = att.transpose(0, 2, 1, 3).reshape(b, t, q_dim)
@@ -949,7 +966,7 @@ def forward(
         x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(scan_body, x, xs)
         new_cache = KVCache(
             k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new, length=kv_len,
-            bits=cache.bits,
+            bits=cache.bits, codebook=cache.codebook,
         )
     else:
         x, new_cache, fused_logits, fused_token = _forward_unrolled(

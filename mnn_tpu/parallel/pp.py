@@ -43,11 +43,13 @@ def _stage_specs(params: Params) -> Params:
     )
 
 
-def cache_specs_pp(quantized: bool, bits: int = 8) -> KVCache:
+def cache_specs_pp(quantized: bool, bits: int = 8,
+                   codebook: bool = False) -> KVCache:
     data = P("pp", None, None, None, None)
     scale = P("pp", None, None, None) if quantized else None
     return KVCache(k=data, v=data, k_scale=scale, v_scale=scale,
-                   length=P(None), bits=bits if quantized else 16)
+                   length=P(None), bits=bits if quantized else 16,
+                   codebook=codebook and quantized)
 
 
 def make_pp_forward(config: ModelConfig, mesh: Mesh, quantized_kv: bool,

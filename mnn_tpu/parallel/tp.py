@@ -120,12 +120,15 @@ def param_specs(config: ModelConfig, params: Params) -> Params:
     )
 
 
-def cache_specs(quantized: bool, bits: int = 8) -> KVCache:
-    """[L, B, Hkv, S, D]: batch over dp, kv heads over tp."""
+def cache_specs(quantized: bool, bits: int = 8,
+                codebook: bool = False) -> KVCache:
+    """[L, B, Hkv, S, D]: batch over dp, kv heads over tp. The static
+    codebook flag must match the cache's (treedefs compare metadata)."""
     data = P(None, "dp", "tp", None, None)
     scale = P(None, "dp", "tp", None) if quantized else None
     return KVCache(k=data, v=data, k_scale=scale, v_scale=scale,
-                   length=P("dp"), bits=bits if quantized else 16)
+                   length=P("dp"), bits=bits if quantized else 16,
+                   codebook=codebook and quantized)
 
 
 def local_config(config: ModelConfig, tp: int) -> ModelConfig:

@@ -94,7 +94,7 @@ def _prefill_into_slot(
         k_scale=None if cache.k_scale is None else sl(cache.k_scale),
         v_scale=None if cache.v_scale is None else sl(cache.v_scale),
         length=jax.lax.dynamic_slice_in_dim(cache.length, slot, 1),
-        bits=cache.bits,
+        bits=cache.bits, codebook=cache.codebook,
     )
     logits, sub = forward(params, config, tokens, sub, all_logits=need_logits)
     if need_logits:
@@ -109,7 +109,7 @@ def _prefill_into_slot(
         k_scale=None if cache.k_scale is None else up(cache.k_scale, sub.k_scale),
         v_scale=None if cache.v_scale is None else up(cache.v_scale, sub.v_scale),
         length=jax.lax.dynamic_update_slice(cache.length, sub.length, (slot,)),
-        bits=cache.bits,
+        bits=cache.bits, codebook=cache.codebook,
     )
     return logits, new
 
@@ -600,6 +600,7 @@ class BatchEngine:
             k_scale=jnp.asarray(z["k_scale"]) if eng.cache.quantized else None,
             v_scale=jnp.asarray(z["v_scale"]) if eng.cache.quantized else None,
             length=jnp.asarray(z["length"]), bits=int(z["bits"]),
+            codebook=eng.cache.codebook,
         )
         if mesh is not None:
             eng.cache = eng._shard_batch(eng.cache)

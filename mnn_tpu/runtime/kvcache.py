@@ -36,6 +36,11 @@ class KVCache:
     # concat — the TPU analog of the reference's TQ4 sub-byte KV,
     # CPUKVCacheManager.hpp:20 / compute/TurboQuant.hpp)
     bits: int = dataclasses.field(metadata=dict(static=True), default=16)
+    # codebook encoding at bits=4: TQ4 — Lloyd-Max 16-level Gaussian
+    # quantizer scaled by row RMS, same nibble-packed storage (bits=3 is
+    # always the TQ3 codebook)
+    codebook: bool = dataclasses.field(metadata=dict(static=True),
+                                       default=False)
 
     @property
     def capacity(self) -> int:
@@ -55,10 +60,12 @@ def create(
     quantized: bool = True,
     dtype=jnp.bfloat16,
     kv_bits: int = 8,
+    kv_codebook: bool = False,
 ) -> KVCache:
     bits = kv_bits if quantized else 16
     if bits == 3 and head_dim % 8:
         raise ValueError("kv_bits=3 needs head_dim % 8 == 0")
+    codebook = bool(kv_codebook) and quantized and bits == 4
     d_store = {4: head_dim // 2, 3: head_dim * 3 // 8}.get(bits, head_dim)
     shape = (num_layers, batch, num_kv_heads, capacity, d_store)
     if quantized:
@@ -71,7 +78,8 @@ def create(
         v = jnp.zeros(shape, dtype)
         ks = vs = None
     return KVCache(k=k, v=v, k_scale=ks, v_scale=vs,
-                   length=jnp.zeros((batch,), jnp.int32), bits=bits)
+                   length=jnp.zeros((batch,), jnp.int32), bits=bits,
+                   codebook=codebook)
 
 
 def quantize_kv(x: jax.Array):
@@ -143,6 +151,39 @@ def unpack_kv3(packed: jax.Array) -> jax.Array:
     return TQ3_LEVELS[codes.reshape(*p32.shape[:-1], d)]
 
 
+# TQ4: 16-level Lloyd-Max quantizer for N(0,1) (reference TurboQuant's
+# 4-bit codebook mode, compute/TurboQuant.hpp:5-24), scaled by row RMS.
+# Storage layout is IDENTICAL to uniform int4 (nibble pairs (j, j+D/2)).
+TQ4_LEVELS = jnp.asarray(
+    [-2.7326, -2.0690, -1.6180, -1.2562, -0.9423, -0.6568, -0.3880,
+     -0.1284, 0.1284, 0.3880, 0.6568, 0.9423, 1.2562, 1.6180, 2.0690,
+     2.7326], jnp.float32)
+
+
+def quantize_kv4cb(x: jax.Array):
+    """Per-(token, head) TQ4 codebook: x [..., D] -> (packed [..., D//2]
+    int8 nibble codes, scale [...] = row RMS)."""
+    d = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    rms = jnp.sqrt(jnp.mean(xf * xf, axis=-1))
+    scale = jnp.where(rms == 0, 1.0, rms)
+    xn = xf / scale[..., None]
+    idx = jnp.argmin(
+        jnp.abs(xn[..., None] - TQ4_LEVELS), axis=-1).astype(jnp.int32)
+    packed = idx[..., : d // 2] | (idx[..., d // 2:] << 4)
+    packed = jnp.where(packed > 127, packed - 256, packed).astype(jnp.int8)
+    return packed, scale
+
+
+def unpack_kv4cb(packed: jax.Array) -> jax.Array:
+    """[..., D//2] int8 -> codebook VALUES [..., D] f32 (scale not applied)."""
+    p32 = packed.astype(jnp.int32) & 0xFF
+    lo = p32 & 0xF
+    hi = (p32 >> 4) & 0xF
+    codes = jnp.concatenate([lo, hi], axis=-1)
+    return TQ4_LEVELS[codes]
+
+
 def unpack_kv4(packed: jax.Array) -> jax.Array:
     """[..., D//2] int8 -> signed int values [..., D] f32 (scale NOT applied)."""
     p32 = packed.astype(jnp.int32)
@@ -152,10 +193,12 @@ def unpack_kv4(packed: jax.Array) -> jax.Array:
 
 
 def dequant_kv(cache_vals: jax.Array, scale: jax.Array, bits: int,
-               dtype=jnp.bfloat16) -> jax.Array:
+               dtype=jnp.bfloat16, codebook: bool = False) -> jax.Array:
     """Dequantize a KV buffer slice back to floats (prefill / ref paths)."""
     if bits == 16:
         return cache_vals.astype(dtype)
+    if bits == 4 and codebook:
+        return (unpack_kv4cb(cache_vals) * scale[..., None]).astype(dtype)
     if bits == 4:
         return (unpack_kv4(cache_vals) * scale[..., None]).astype(dtype)
     if bits == 3:
@@ -163,7 +206,9 @@ def dequant_kv(cache_vals: jax.Array, scale: jax.Array, bits: int,
     return (cache_vals.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
-def _quantize_for(bits: int, x: jax.Array):
+def _quantize_for(bits: int, x: jax.Array, codebook: bool = False):
+    if bits == 4 and codebook:
+        return quantize_kv4cb(x)
     if bits == 4:
         return quantize_kv4(x)
     if bits == 3:
@@ -180,12 +225,13 @@ def append_layer(
     v_new: jax.Array,
     start: jax.Array,        # [] int32 write offset (uniform across batch)
     bits: int = 8,
+    codebook: bool = False,
 ):
     """Write T new positions at `start`. Returns updated (k, v, ks, vs)."""
     quantized = k_cache.dtype == jnp.int8
     if quantized:
-        kq, ks_new = _quantize_for(bits, k_new)
-        vq, vs_new = _quantize_for(bits, v_new)
+        kq, ks_new = _quantize_for(bits, k_new, codebook)
+        vq, vs_new = _quantize_for(bits, v_new, codebook)
         k_cache = jax.lax.dynamic_update_slice(k_cache, kq, (0, 0, start, 0))
         v_cache = jax.lax.dynamic_update_slice(v_cache, vq, (0, 0, start, 0))
         k_scale = jax.lax.dynamic_update_slice(k_scale, ks_new, (0, 0, start))
@@ -209,6 +255,7 @@ def append_decode_layer(
     v_new: jax.Array,
     lengths: jax.Array,      # [B] int32 per-slot write offsets
     bits: int = 8,
+    codebook: bool = False,
 ):
     """Scatter one position per sequence at its own offset (continuous
     batching: slots decode at different context lengths). Offsets are
@@ -219,8 +266,8 @@ def append_decode_layer(
     b_idx = jnp.arange(b)
     quantized = k_cache.dtype == jnp.int8
     if quantized:
-        kq, ks_new = _quantize_for(bits, k_new)
-        vq, vs_new = _quantize_for(bits, v_new)
+        kq, ks_new = _quantize_for(bits, k_new, codebook)
+        vq, vs_new = _quantize_for(bits, v_new, codebook)
         k_cache = k_cache.at[b_idx, :, pos].set(kq[:, :, 0])
         v_cache = v_cache.at[b_idx, :, pos].set(vq[:, :, 0])
         k_scale = k_scale.at[b_idx, :, pos].set(ks_new[:, :, 0])
@@ -247,8 +294,8 @@ def append_stacked(
     zero = jnp.zeros((), jnp.int32)
     li = jnp.asarray(layer, jnp.int32)
     if cache.quantized:
-        kq, ks_new = _quantize_for(cache.bits, k_new)
-        vq, vs_new = _quantize_for(cache.bits, v_new)
+        kq, ks_new = _quantize_for(cache.bits, k_new, cache.codebook)
+        vq, vs_new = _quantize_for(cache.bits, v_new, cache.codebook)
         k = jax.lax.dynamic_update_slice(
             cache.k, kq[None], (li, zero, zero, start, zero))
         v = jax.lax.dynamic_update_slice(
@@ -280,8 +327,8 @@ def append_decode_stacked(
     pos = jnp.clip(lengths, 0, s - 1)
     b_idx = jnp.arange(b)
     if cache.quantized:
-        kq, ks_new = _quantize_for(cache.bits, k_new)
-        vq, vs_new = _quantize_for(cache.bits, v_new)
+        kq, ks_new = _quantize_for(cache.bits, k_new, cache.codebook)
+        vq, vs_new = _quantize_for(cache.bits, v_new, cache.codebook)
         k = cache.k.at[layer, b_idx, :, pos].set(kq[:, :, 0])
         v = cache.v.at[layer, b_idx, :, pos].set(vq[:, :, 0])
         ks = cache.k_scale.at[layer, b_idx, :, pos].set(ks_new[:, :, 0])

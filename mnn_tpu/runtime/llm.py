@@ -103,6 +103,7 @@ class Llm:
             self.config.num_layers, self.rt.max_batch, self.config.num_kv_heads,
             self.rt.max_seq_len, self.config.head_dim,
             quantized=self.rt.kv_quant, kv_bits=self.rt.kv_bits,
+            kv_codebook=self.rt.kv_codebook,
         )
 
     # -- runtime introspection (reference: Interpreter::getSessionInfo

@@ -79,5 +79,5 @@ def load_prefix(path: str, cache: KVCache, slot: int = 0
         vs = vs.at[:, slot, :, :n].set(jnp.asarray(z["v_scale"]))
     length = cache.length.at[slot].set(n)
     new = KVCache(k=k, v=v, k_scale=ks, v_scale=vs, length=length,
-                  bits=cache.bits)
+                  bits=cache.bits, codebook=cache.codebook)
     return new, [int(t) for t in z["tokens"]]
