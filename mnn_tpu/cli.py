@@ -30,6 +30,9 @@ def _add_model_args(p):
     p.add_argument("--no-kv-quant", action="store_true")
     p.add_argument("--max-new-tokens", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--debug-nans", action="store_true",
+                   help="raise on NaN/Inf in any jitted computation "
+                        "(jax_debug_nans; ~ checkInvalidValue.out)")
 
 
 def _build_llm(args):
@@ -44,6 +47,7 @@ def _build_llm(args):
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
         penalty=args.penalty, kv_quant=not args.no_kv_quant,
         max_new_tokens=args.max_new_tokens, seed=args.seed,
+        debug_nans=args.debug_nans,
     )
     if args.model:
         return Llm.from_pretrained(args.model, rt=rt)

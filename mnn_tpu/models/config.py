@@ -273,6 +273,10 @@ class RuntimeConfig:
     kv_quant: bool = True          # attention mode quantized-KV (MNN KVCacheInfo)
     kv_bits: int = 8               # 8 = int8 KV; 4 = packed int4; 3 = TQ3
     kv_codebook: bool = False      # at kv_bits=4: TQ4 Lloyd-Max codebook
+    # numerics debug: raise on NaN/Inf in any jitted computation
+    # (jax_debug_nans ≈ the reference's checkInvalidValue.out /
+    # MNN_DEBUG_* debug builds, tools/cpp/checkInvalidValue.cpp)
+    debug_nans: bool = False
     kv_rotate: bool = False        # Hadamard-rotate KV before quantization
     max_seq_len: int = 4096        # kvcache capacity per sequence
     max_batch: int = 1

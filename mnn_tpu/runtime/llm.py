@@ -62,6 +62,8 @@ class Llm:
         tokenizer=None,
     ):
         self.rt = rt or RuntimeConfig()
+        if self.rt.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         if self.rt.kv_rotate and not config.kv_rotate:
             config = dataclasses.replace(config, kv_rotate=True)
         self.config = config

@@ -110,3 +110,46 @@ class TestIntrospection:
         assert info["kv_capacity"] == 64
         llm.generate("hi", max_new_tokens=3)
         assert llm.info()["context_len"] > 0
+
+
+class TestDebugHooks:
+    """§5.2 equivalents: NaN-raise hook + donation audit (≈ the
+    reference's MNN_DEBUG_* / checkInvalidValue debug tooling)."""
+
+    def test_debug_nans_flag_raises(self):
+        import jax
+        import jax.numpy as jnp
+
+        from mnn_tpu.models.config import RuntimeConfig
+        from mnn_tpu.runtime.llm import Llm
+
+        assert not jax.config.jax_debug_nans
+        try:
+            Llm.synthetic("tiny", rt=RuntimeConfig(max_seq_len=32,
+                                                   debug_nans=True))
+            assert jax.config.jax_debug_nans
+            with pytest.raises(Exception):
+                jax.jit(lambda x: x / x)(jnp.zeros((4,)))
+        finally:
+            jax.config.update("jax_debug_nans", False)
+
+    def test_no_unintended_donation(self):
+        """forward() must not donate its cache: callers reuse the input
+        cache (per-step parity tests, speculative rollbacks). An
+        accidental donate_argnums would invalidate those buffers."""
+        import jax
+        import jax.numpy as jnp
+
+        from mnn_tpu.models.config import PRESETS
+        from mnn_tpu.models.decoder import forward, init_random_params
+        from mnn_tpu.runtime import kvcache
+
+        cfg = PRESETS["tiny"]
+        params = init_random_params(cfg, jax.random.PRNGKey(0), scale=0.05)
+        cache = kvcache.create(cfg.num_layers, 1, cfg.num_kv_heads, 32,
+                               cfg.head_dim, quantized=True)
+        toks = jnp.asarray([[1, 2, 3]], jnp.int32)
+        _, c2 = forward(params, cfg, toks, cache)
+        # the ORIGINAL cache must still be readable (not donated/deleted)
+        assert int(jnp.sum(cache.length)) == 0
+        assert int(c2.length[0]) == 3
