@@ -185,8 +185,21 @@ def _run_subprocess(preset: str, extra=()):
             r.pop("model", None)
             r.pop("value", None)
             return r
-    err = (proc.stderr or "").strip().splitlines()
-    return {"error": (err[-1] if err else f"exit {proc.returncode}")[:160]}
+    # surface the REAL exception: JAX appends a traceback-filtering notice
+    # as the last stderr line, so scan for the last line that looks like an
+    # error (exception type or OOM/Error text), falling back to the tail
+    err_lines = [ln.strip() for ln in (proc.stderr or "").splitlines()
+                 if ln.strip()]
+    import re
+    msg = None
+    for ln in reversed(err_lines):
+        if re.match(r"[A-Za-z_.]*(Error|Exception|Interrupt)\b", ln) or \
+                re.search(r"RESOURCE_EXHAUSTED|Ran out of memory|OOM", ln):
+            msg = ln
+            break
+    if msg is None:
+        msg = err_lines[-1] if err_lines else f"exit {proc.returncode}"
+    return {"error": msg[:300]}
 
 
 def main():

@@ -65,9 +65,14 @@ from jax.experimental.pallas import tpu as pltpu
 from mnn_tpu.kernels.common import largest_divisor_leq, round_up
 from mnn_tpu.kernels.decode_step import NEG_INF, _rms, _rope_full
 
-# VMEM budget for the solver: ~16MB physical minus headroom for Mosaic
-# spills, semaphores and the odd compiler-introduced copy.
-VMEM_BUDGET = 14 << 20
+# VMEM budget for the solver against the PADDED-tile accounting in
+# _plan.total(): the chip's scoped-vmem limit is 16.00MB and the solver's
+# byte model counts physical tiles (lane dim rounded to 128, sublane dim to
+# the dtype tile), so only a small margin for Mosaic bookkeeping is left
+# out. Round 4 shipped a VMEM OOM (16.01M/16.00M, kv4 cache at capacity
+# 4096) precisely because the old model ignored tile padding — int4 KV
+# tiles (d_store=32 lanes) occupy 4x their logical bytes.
+VMEM_BUDGET = (15 << 20) + (1 << 19)  # 15.5 MB
 # MLP runs as a manual-DMA loop when n_mlp is at most this (see
 # _Plan.phases for the measured crossover vs revolving grid phases)
 MLP_MANUAL_MAX = 8
@@ -155,6 +160,20 @@ def _plan(c, layers, cache, batch: int, head=None,
     sb_g = sbytes(lay.wgu)
     sb_d = sbytes(lay.wdown)
 
+    def _vb(shape, esize):
+        """Physical VMEM bytes of a buffer: the lane (last) dim pads to
+        128 and the sublane (second-to-last) dim pads to the dtype's tile
+        rows (f32/i32: 8, bf16: 16, int8: 32). This padding is REAL
+        occupancy — an int4-packed KV tile with d_store=32 lanes costs 4x
+        its logical bytes — and ignoring it is what let round 4 ship a
+        scoped-vmem OOM."""
+        sub = {4: 8, 2: 16, 1: 32}[esize]
+        lead = 1
+        for v in shape[:-2]:
+            lead *= v
+        s, l2 = shape[-2], shape[-1]
+        return lead * round_up(s, sub) * round_up(l2, 128) * esize
+
     # KV tile: candidates up to 1024 (measured: one 1024-tile beats two
     # 512-tiles by ~50us/step on the 0.5B bench — one less phase/layer).
     # Tiles are searched jointly with the weight chunks below; a non-512
@@ -193,19 +212,19 @@ def _plan(c, layers, cache, batch: int, head=None,
         # measured ~4% slower on the 0.5B bench)
         return min(2 * ci, vocab128)
 
-    def head_bytes(bnv):
+    def head_bytes(bnv, hslots):
         if head is None:
             return 0
-        out_slots = 2 * b8 * bnv * 4 + 2 * b8 * 128 * 4
+        # logits slots + best/besti running-argmax scratch + token out x2
+        out_slots = _vb((2, b8, bnv), 4) + 2 * _vb((b8, 128), 4) \
+            + 2 * _vb((b8, 128), 4)
         if head_reuse:
-            # slot-reuse head costs only the small logits out-slots (~70KB)
-            # — charge nothing so the LAYER plan is identical to the
-            # no-head plan (the 2MB physical headroom above VMEM_BUDGET
-            # absorbs it; a 73KB charge measurably flipped the 7B plan)
-            return 0
+            # slot-reuse head: the weight/plane slots are the (drained)
+            # MLP gu slots — only the logits/argmax extras are new
+            return out_slots
         nbh_p = round_up(nbh, 8)  # planes padded to 8-row DMA alignment
-        slot = h // pack_h * bnv + 2 * nbh_p * bnv * sb_h  # w + scale + bias
-        return 2 * slot + out_slots
+        slot = _vb((h // pack_h, bnv), 1) + _vb((2 * nbh_p, bnv), sb_h)
+        return hslots * slot + out_slots
 
     qkv_opts = _divisor_chunks(nq, 128) if nq % 128 == 0 else [nq]
     wo_opts = _divisor_chunks(dq, bs_h)
@@ -216,36 +235,59 @@ def _plan(c, layers, cache, batch: int, head=None,
     if not (qkv_opts and wo_opts and ci_opts):
         return None
 
-    def wbytes(k_dim, n_dim):  # packed weight chunk bytes
-        return k_dim * n_dim // pack
+    d_store = d // 2 if cache.bits == 4 else d
+    kv_es = 2 if cache.bits == 16 else 1
 
-    def total(bnq, bkwo, ci, bkv):
-        # all double-buffered inputs + scratch (see fused_decode_model)
-        w = (
-            wbytes(h, bnq)                       # wqkv chunk
-            + (h // bs_h) * bnq * sb_q * 2       # sq/bq
-            + wbytes(bkwo, h)                    # wo chunk
-            + (bkwo // bs_h) * h * sb_o * 2
-            + wbytes(h, 2 * ci)                  # wgu chunk
-            + (h // bs_h) * 2 * ci * sb_g * 2
-            + wbytes(ci, h)                      # wdown chunk
-            + (ci // bs_i) * h * sb_d * 2
-            + 2 * batch * hkv * bkv * d
-            * (1 if cache.bits == 8 else 2 if cache.bits == 16 else 0.5)
-            + (2 * batch * hkv * bkv * 4 if cache.bits < 16 else 0)  # k/v sc
-            + nq * 4 + 2 * h * 4 + 2 * d * 4     # out-bias + norms + qk-norms
-            + b8 * h * 4 + b8 * 2 * d * 4        # x input + cos/sin
+    def total(bnq, bkwo, ci, bkv, manual):
+        """Physical VMEM bytes for one candidate plan: double-buffered
+        revolving operand/output blocks (x2) + single-copy scratch,
+        every buffer at its PADDED tile size (_vb). Mirrors the in_specs
+        / out_specs / scratch_shapes built in fused_decode_model."""
+        dbl = (
+            _vb((b8, h), 4)                     # x
+            + _vb((b8, 2, d), 4)                # cos/sin
+            + _vb((h // pack, bnq), 1)          # wqkv chunk
+            + 2 * _vb((h // bs_h, bnq), sb_q)   # sq/bq
+            + _vb((1, nq), 4)                   # qkv out-bias
+            + _vb((bkwo // pack, h), 1)         # wo chunk
+            + 2 * _vb((bkwo // bs_h, h), sb_o)  # so/bo
+            + 4 * _vb((1, h), 4)                # in/post/preffn/postffn norms
+            + _vb((2, d), 4)                    # qk norms
+            + 2 * _vb((batch * hkv, bkv, d_store), kv_es)   # k/v tiles
+            + (2 * _vb((batch * hkv, 1, bkv), 4)
+               if cache.bits < 16 else 2 * _vb((batch * hkv, 1, 128), 4))
+        )
+        if not manual:  # revolving MLP chunks are pipeline operands
+            dbl += (
+                _vb((h // pack, 2 * ci), 1)             # wgu chunk
+                + _vb((2 * (h // bs_h), 2 * ci), sb_g)  # gsb chunk
+                + _vb((ci // pack, h), 1)               # wdown chunk
+                + _vb((2 * (ci // bs_i), h), sb_d)      # dsb chunk
+            )
+        outs = (
+            _vb((b8, h), 4)                          # xo
+            + 2 * _vb((batch * hkv, 8, d_store), 4)  # krow/vrow
+            + _vb((batch * hkv, 8, 128), 4)          # kvsc
         )
         scratch = (
-            3 * b8 * h * 4          # x, rn, acc
-            + b8 * nq * 4           # qkv
-            + b8 * dq * 4           # att
-            + batch * hkv * gp * (2 * d + 2 * 128) * 4  # q, accA, m, l
+            3 * _vb((b8, h), 4)                      # x, rn, acc
+            + _vb((b8, nq), 4)                       # qkv
+            + 2 * _vb((batch * hkv, gp, d), 4)       # q, accA
+            + 2 * _vb((batch * hkv, gp, 128), 4)     # m, l
+            + (dq // bkwo) * _vb((b8, bkwo), 4)      # att (chunk-major)
         )
-        outs = b8 * h * 4 + 2 * batch * hkv * 8 * d * 4 + batch * hkv * 8 * 128 * 4
-        return 2 * w + scratch + 2 * outs
+        if manual:  # MLP manual-DMA double-buffer slots
+            nb_h_p = round_up(h // bs_h, 8)
+            nb_ci_p = round_up(ci // bs_i, 8)
+            scratch += (
+                2 * _vb((h // pack, 2 * ci), 1)
+                + 2 * _vb((2 * nb_h_p, 2 * ci), sb_g)
+                + 2 * _vb((ci // pack, h), 1)
+                + 2 * _vb((2 * nb_ci_p, h), sb_d)
+            )
+        return 2 * (dbl + outs) + scratch
 
-    best = None  # (phases, -bnv, vmem_total), bnq, bkwo, ci, bkv, bnv
+    best = None  # (phases, -bnv, vmem_total), bnq, bkwo, ci, bkv, bnv, ...
     if head_reuse:
         outer_bnv = [None]       # bnv derived from ci inside the loop
     elif head is not None:
@@ -262,7 +304,16 @@ def _plan(c, layers, cache, batch: int, head=None,
                         if head_reuse and not manual:
                             continue  # slot reuse needs the manual loop
                         bnv = head_bnv(ci) if head_reuse else bnv_o
-                        t = total(bnq, bkwo, ci, bkv) + head_bytes(bnv)
+                        base = total(bnq, bkwo, ci, bkv, manual)
+                        # a third head slot deepens the manual DMA
+                        # pipeline (absorbs per-chunk turnaround, measured
+                        # ~34us of 122 on the 0.5B head) — take it when
+                        # the REAL footprint allows, else fall back to 2
+                        hs = 2
+                        if head is not None and not head_reuse and bnv:
+                            if base + head_bytes(bnv, 3) <= VMEM_BUDGET:
+                                hs = 3
+                        t = base + head_bytes(bnv, hs)
                         if t > VMEM_BUDGET:
                             continue
                         # overhead units: a grid step costs ~3x a manually
@@ -274,21 +325,11 @@ def _plan(c, layers, cache, batch: int, head=None,
                         # head chunk (fewer DMA turnarounds), then headroom
                         key = (phases, -bnv, t)
                         if best is None or key < best[0]:
-                            best = (key, bnq, bkwo, ci, bkv, bnv, manual)
+                            best = (key, bnq, bkwo, ci, bkv, bnv, manual,
+                                    hs)
     if best is None:
         return None
-    key, bnq, bkwo, ci, bkv, bnv, manual = best
-    t_best = key[-1]
-    hslots = 2
-    if head is not None and not head_reuse and bnv:
-        # a third head slot deepens the manual DMA pipeline (absorbs
-        # per-chunk turnaround, measured ~34us of 122 on the 0.5B head)
-        nbh_p = round_up(nbh, 8)
-        slot = h // pack_h * bnv + 2 * nbh_p * bnv * sb_h
-        # the extra slot may dip 1MB into the physical headroom above the
-        # solver budget (16MB chip, 14MB budget) — still leaves 1MB margin
-        if t_best + slot <= VMEM_BUDGET + (1 << 20):
-            hslots = 3
+    key, bnq, bkwo, ci, bkv, bnv, manual, hslots = best
     return _Plan(
         bnq=bnq, n_qkv=nq // bnq,
         bkwo=bkwo, n_wo=dq // bkwo,
