@@ -76,6 +76,9 @@ VMEM_BUDGET = (15 << 20) + (1 << 19)  # 15.5 MB
 # MLP runs as a manual-DMA loop when n_mlp is at most this (see
 # _Plan.phases for the measured crossover vs revolving grid phases)
 MLP_MANUAL_MAX = 8
+# Deep mode (3-deep shared slot rings replacing all revolving weight
+# phases) — module flag for A/B measurement.
+DEEP_ENABLE = True
 
 
 def _divisor_chunks(dim: int, align: int):
@@ -102,6 +105,7 @@ class _Plan:
     bnv: int = 0  # lm-head vocab-column chunk (0 = head not fused)
     hslots: int = 2  # head slot depth (3 when dedicated slots have room)
     mlp_manual: bool = True  # manual-DMA MLP loop vs revolving grid phases
+    deep: bool = False  # ALL weights stream through 3-deep manual rings
 
     @property
     def fused_attn(self) -> bool:
@@ -109,6 +113,8 @@ class _Plan:
         # chunks simultaneously), so the whole attention block collapses
         # into ONE grid step: qkv -> rope/seed -> attend -> wo -> residual
         # execute back-to-back in program order.
+        if self.deep:
+            return False
         return self.n_qkv == 1 and self.nkv == 1 and self.n_wo == 1
 
     @property
@@ -117,9 +123,12 @@ class _Plan:
         # wo phase (a revolving-buffer grid step costs ~2us fixed vs
         # ~0.7us per manually pipelined chunk — measured on the 0.5B
         # bench, 72 -> 25 steps/token). At large n_mlp the revolving
-        # pipeline wins (7B, n_mlp=37: manual costs ~1.6us/chunk and
-        # regressed 5242 -> 5890us/step), so deep-chunk plans keep MLP
-        # grid phases.
+        # pipeline wins at 2-deep manual slots (7B, n_mlp=37: manual cost
+        # ~1.6us/chunk and regressed 5242 -> 5890us/step); the DEEP
+        # mode's 3-deep rings collapse a layer to one qkv phase + the KV
+        # phases with qkv/wo/MLP/head chunks all hand-pipelined.
+        if self.deep:
+            return 1 + self.nkv
         base = 1 if self.fused_attn else self.n_qkv + self.nkv + self.n_wo
         return base + (0 if self.mlp_manual else self.n_mlp)
 
@@ -330,6 +339,91 @@ def _plan(c, layers, cache, batch: int, head=None,
     if best is None:
         return None
     key, bnq, bkwo, ci, bkv, bnv, manual, hslots = best
+
+    # ---- DEEP mode: every weight chunk hand-pipelined through 3-deep ----
+    # shared slot rings. When the best standard plan keeps the MLP on
+    # revolving grid phases (big models: 7B pays ~1 grid step/chunk of
+    # fixed cost, ~1030 steps/token), try collapsing the whole layer to
+    # 1 + nkv grid steps: an A-ring of (h//pack, 2ci) slots carries the
+    # qkv column chunks, then the gate/up chunks, then (after the last
+    # layer) the lm-head chunks; a B-ring of (ci//pack, h) slots carries
+    # the wo row chunks then the down-proj chunks. Shapes are shared so
+    # both rings stream continuously across operand and layer boundaries.
+    if (DEEP_ENABLE and not manual and head is None and not head_reuse
+            and bs_h == bs_i and nq % 128 == 0
+            # ring slots are shared across operands: one plane dtype per
+            # ring (A: qkv/gu/head, B: wo/down)
+            and lay.wqkv.scale.dtype == lay.wgu.scale.dtype
+            and lay.wo.scale.dtype == lay.wdown.scale.dtype
+            # packed slots shared: one weight bit-width for the layer
+            and lay.wo.bits == bits and lay.wgu.bits == bits
+            and lay.wdown.bits == bits):
+
+        def deep_total(ci_, bkv_):
+            two = 2 * ci_
+            nbp_b = round_up(ci_ // bs_i, 8)
+            nb_h_p = round_up(h // bs_h, 8)
+            n_wo_ = dq // ci_
+            pools = 3 * (
+                _vb((h // pack, two), 1)            # A weight slots
+                + _vb((2 * nb_h_p, two), sb_g)      # A plane slots
+                + _vb((ci_ // pack, h), 1)          # B weight slots
+                + _vb((2 * nbp_b, h), sb_d)         # B plane slots
+            )
+            dbl = (
+                _vb((b8, h), 4) + _vb((b8, 2, d), 4)
+                + _vb((1, nq), 4)                   # qkv out-bias
+                + 2 * _vb((1, 128), 4)              # dummy bq/bo blocks
+                + 4 * _vb((1, h), 4) + _vb((2, d), 4)
+                + 2 * _vb((batch * hkv, bkv_, d_store), kv_es)
+                + (2 * _vb((batch * hkv, 1, bkv_), 4)
+                   if cache.bits < 16 else 2 * _vb((batch * hkv, 1, 128), 4))
+            )
+            outs = (
+                _vb((b8, h), 4)
+                + 2 * _vb((batch * hkv, 8, d_store), 4)
+                + _vb((batch * hkv, 8, 128), 4)
+                + 2 * _vb((b8, 128), 4)             # token (head may fuse)
+            )
+            scratch = (
+                3 * _vb((b8, h), 4) + _vb((b8, nq), 4)
+                + 2 * _vb((batch * hkv, gp, d), 4)
+                + 2 * _vb((batch * hkv, gp, 128), 4)
+                + n_wo_ * _vb((b8, ci_), 4)         # att chunk-major
+                + _vb((2, b8, two), 4)              # head logits slots
+                + 2 * _vb((b8, 128), 4)             # best/besti
+            )
+            return pools + 2 * (dbl + outs) + scratch
+
+        best_d = None
+        for bkv_ in bkv_opts:
+            for ci_ in ci_opts:
+                if dq % ci_ or i_dim // ci_ < 2:
+                    continue
+                two = 2 * ci_
+                n_qkv_ = -(-nq // two)
+                if (nq - (n_qkv_ - 1) * two) % 128:
+                    continue
+                t = deep_total(ci_, bkv_)
+                if t > VMEM_BUDGET:
+                    continue
+                chunks = n_qkv_ + dq // ci_ + 2 * (i_dim // ci_) \
+                    + 3 * (s // bkv_ + 1)
+                kd = (chunks, t)
+                if best_d is None or kd < best_d[0]:
+                    best_d = (kd, ci_, bkv_)
+        if best_d is not None:
+            _, ci_, bkv_ = best_d
+            two = 2 * ci_
+            return _Plan(
+                bnq=two, n_qkv=-(-nq // two),
+                bkwo=ci_, n_wo=dq // ci_,
+                ci=ci_, n_mlp=i_dim // ci_,
+                bkv=bkv_, nkv=s // bkv_,
+                bnv=min(two, vocab128), hslots=3,
+                mlp_manual=False, deep=True,
+            )
+
     return _Plan(
         bnq=bnq, n_qkv=nq // bnq,
         bkwo=bkwo, n_wo=dq // bkwo,
@@ -506,10 +600,19 @@ def _kernel(
     (x_scr, rn_scr, qkv_scr, acc_scr, q_scr, m_scr, l_scr, accA_scr,
      att_scr) = rest[:9]
     rest = rest[9:]
+    if plan.deep:
+        a_w, a_p, b_w, b_p, a_sems, b_sems = rest[:6]
+        rest = rest[6:]
+        if fuse_head:
+            lo_scr, best_scr, besti_scr, out_sems = rest
+            rest = []
+        assert not rest
     if plan.mlp_manual:
         gu_s, gsb_s, dn_s, dsb_s, msems = rest[:5]
         rest = rest[5:]
-    if fuse_head and head_reuse:
+    if plan.deep:
+        pass
+    elif fuse_head and head_reuse:
         # head streams through the (drained) MLP gu slots — see _plan
         lo_scr, best_scr, besti_scr, out_sems = rest
         hw_scr, hsb_scr = gu_s, gsb_s
@@ -530,7 +633,10 @@ def _kernel(
     n_qkv, nkv = plan.n_qkv, plan.nkv
     n_wo, n_mlp = plan.n_wo, plan.n_mlp
     bnq, bkwo, ci, bkv = plan.bnq, plan.bkwo, plan.ci, plan.bkv
-    if plan.fused_attn:
+    if plan.deep:
+        A0 = 1               # phase 0 = manual qkv loop + rope/seed
+        W0 = 1 + nkv         # unused: wo/MLP run inside the last KV phase
+    elif plan.fused_attn:
         A0 = W0 = 0          # same grid step as qkv: bodies run in order
     else:
         A0 = n_qkv
@@ -543,6 +649,104 @@ def _kernel(
         lo4 = (p32 & 0xF) - 8
         hi4 = ((p32 >> 4) & 0xF) - 8
         return jnp.concatenate([lo4, hi4], axis=-1)
+
+    # ---- DEEP mode slot-ring DMA helpers ------------------------------------
+    # Two independent rings of 3 VMEM slots each stream EVERY weight chunk
+    # of the model in a fixed global order (ring position g -> slot g % 3;
+    # while chunk g computes, chunks g+1 and g+2 are in flight):
+    #   A ring, slots (h//pack, 2ci): per layer [qkv chunks..., gu chunks...],
+    #     then after the last layer the lm-head vocab chunks
+    #   B ring, slots (ci//pack, h): per layer [wo chunks..., down chunks...]
+    # Each chunk is 2 DMAs: packed weights + one stacked scale||bias plane.
+    if plan.deep:
+        S_r = 3
+        RA = n_qkv + n_mlp
+        RB = n_wo + n_mlp
+        two_ci = 2 * ci
+        w_last = nq - (n_qkv - 1) * two_ci
+        nbp_hd = round_up(h // bs_h, 8)
+        nbp_bd = round_up(ci // bs_i, 8)
+
+        def a_dma_qkv(l_, j, w):
+            # j/w static (qkv chunks are an unrolled Python loop)
+            st = j * two_ci
+            slot = jax.lax.rem(l_ * RA + j, S_r)
+            dw_dst = a_w.at[slot] if w == two_ci \
+                else a_w.at[slot, :, pl.ds(0, w)]
+            dp_dst = a_p.at[slot] if w == two_ci \
+                else a_p.at[slot, :, pl.ds(0, w)]
+            return (
+                pltpu.make_async_copy(
+                    wqkv_ref.at[l_, :, pl.ds(st, w)], dw_dst,
+                    a_sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    sq_ref.at[l_, :, pl.ds(st, w)], dp_dst,
+                    a_sems.at[slot, 1]),
+            )
+
+        def a_dma_gu(l_, c_):
+            slot = jax.lax.rem(l_ * RA + n_qkv + c_, S_r)
+            st = pl.multiple_of(c_ * two_ci, 128)
+            return (
+                pltpu.make_async_copy(
+                    gw_ref.at[l_, :, pl.ds(st, two_ci)], a_w.at[slot],
+                    a_sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    gsb_ref.at[l_, :, pl.ds(st, two_ci)], a_p.at[slot],
+                    a_sems.at[slot, 1]),
+            )
+
+        def a_dma_head(c_):
+            # clamped-overlap tail: the last chunk re-covers columns
+            slot = jax.lax.rem(nl * RA + c_, S_r)
+            st = pl.multiple_of(
+                jnp.minimum(c_ * two_ci, vocab - two_ci), 128)
+            return (
+                pltpu.make_async_copy(
+                    hw_ref.at[:, pl.ds(st, two_ci)], a_w.at[slot],
+                    a_sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    hsb_ref.at[:, pl.ds(st, two_ci)], a_p.at[slot],
+                    a_sems.at[slot, 1]),
+            )
+
+        def b_dma_wo(l_, c_):
+            slot = jax.lax.rem(l_ * RB + c_, S_r)
+            rows = ci // (2 if bits == 4 else 1)
+            return (
+                pltpu.make_async_copy(
+                    wo_ref.at[l_, pl.ds(c_ * rows, rows), :], b_w.at[slot],
+                    b_sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    so_ref.at[l_, c_], b_p.at[slot], b_sems.at[slot, 1]),
+            )
+
+        def b_dma_dn(l_, c_):
+            slot = jax.lax.rem(l_ * RB + n_wo + c_, S_r)
+            return (
+                pltpu.make_async_copy(
+                    dw_ref.at[l_, c_], b_w.at[slot], b_sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    dsb_ref.at[l_, c_], b_p.at[slot], b_sems.at[slot, 1]),
+            )
+
+        def a_start_pos01(l_, j):
+            """Start layer l_'s A-ring position j in {0, 1} (static)."""
+            if j < n_qkv:
+                for dma in a_dma_qkv(
+                        l_, j, two_ci if j < n_qkv - 1 else w_last):
+                    dma.start()
+            elif j - n_qkv < n_mlp:
+                for dma in a_dma_gu(l_, j - n_qkv):
+                    dma.start()
+
+        def b_start_pos01(l_, j):
+            if j < n_wo:
+                for dma in b_dma_wo(l_, j):
+                    dma.start()
+            elif j - n_wo < n_mlp:
+                for dma in b_dma_dn(l_, j - n_wo):
+                    dma.start()
 
     # MLP weights stream through manually double-buffered VMEM slots (see
     # _mlp_block): chunk c of layer l lives in slot (l*n_mlp + c) % 2, so
@@ -569,37 +773,78 @@ def _kernel(
             )
 
     # ---- qkv column chunks (+ rope/quant/seed on the last one) -------------
-    for c_q in range(n_qkv):
-        @pl.when(jnp.logical_and(p == c_q, lv))
-        def _qkv_phase(c_q=c_q):
-            @pl.when(jnp.logical_and(l_raw == 0, p == 0))
-            def _():
-                x_scr[...] = x_ref[...]
-
-            if plan.mlp_manual:
+    if not plan.deep:
+        for c_q in range(n_qkv):
+            @pl.when(jnp.logical_and(p == c_q, lv))
+            def _qkv_phase(c_q=c_q):
                 @pl.when(jnp.logical_and(l_raw == 0, p == 0))
                 def _():
-                    # warm-up: layer 0's first MLP chunk pair starts
-                    # streaming now, overlapping the qkv/attention compute
-                    for dma in mlp_dma(0, 0, 0):
-                        dma.start()
+                    x_scr[...] = x_ref[...]
 
-            @pl.when(p == 0)
+                if plan.mlp_manual:
+                    @pl.when(jnp.logical_and(l_raw == 0, p == 0))
+                    def _():
+                        # warm-up: layer 0's first MLP chunk pair starts
+                        # streaming now, overlapping the qkv/attention
+                        # compute
+                        for dma in mlp_dma(0, 0, 0):
+                            dma.start()
+
+                @pl.when(p == 0)
+                def _():
+                    rn_scr[...] = _rms(x_scr[...], innorm_ref[0, 0], eps)
+
+                rn = rn_scr[...]
+                part = _qmatmul(rn, wqkv_ref, sq_ref[0], bq_ref[0],
+                                bits=bits, bs=bs_h, k=h)       # [B8, bnq]
+                if has_qkv_bias:
+                    part = part + qkvb_ref[0, 0, c_q * bnq:(c_q + 1) * bnq]
+                part = _bf16r(part)  # per-layer qkv is a bf16 kernel output
+                if n_qkv == 1:
+                    qkv_scr[...] = part
+                else:
+                    qkv_scr[:, c_q * bnq:(c_q + 1) * bnq] = part
+
+    if plan.deep:
+        @pl.when(jnp.logical_and(p == 0, lv))
+        def _deep_qkv_phase():
+            @pl.when(l_raw == 0)
             def _():
-                rn_scr[...] = _rms(x_scr[...], innorm_ref[0, 0], eps)
+                x_scr[...] = x_ref[...]
+                # warm-up: both rings' first two positions start streaming
+                for j in range(min(2, RA)):
+                    a_start_pos01(0, j)
+                for j in range(min(2, RB)):
+                    b_start_pos01(0, j)
 
+            rn_scr[...] = _rms(x_scr[...], innorm_ref[0, 0], eps)
             rn = rn_scr[...]
-            part = _qmatmul(rn, wqkv_ref, sq_ref[0], bq_ref[0],
-                            bits=bits, bs=bs_h, k=h)       # [B8, bnq]
-            if has_qkv_bias:
-                part = part + qkvb_ref[0, 0, c_q * bnq:(c_q + 1) * bnq]
-            part = _bf16r(part)   # per-layer qkv is a bf16 kernel output
-            if n_qkv == 1:
-                qkv_scr[...] = part
-            else:
-                qkv_scr[:, c_q * bnq:(c_q + 1) * bnq] = part
+            for cq in range(n_qkv):
+                w = two_ci if cq < n_qkv - 1 else w_last
+                slot = jax.lax.rem(l * RA + cq, S_r)
+                # prefetch ring position cq + 2 (qkv tail or first gu's)
+                nxt = cq + 2
+                if nxt < n_qkv:
+                    for dma in a_dma_qkv(
+                            l, nxt, two_ci if nxt < n_qkv - 1 else w_last):
+                        dma.start()
+                elif nxt - n_qkv < min(2, n_mlp):
+                    for dma in a_dma_gu(l, nxt - n_qkv):
+                        dma.start()
+                for dma in a_dma_qkv(l, cq, w):
+                    dma.wait()
+                part = _qmatmul_rows(
+                    rn,
+                    lambda r0, r1, slot=slot, w=w: a_w[slot, r0:r1, :w],
+                    a_p[slot][:nbp_hd, :w], a_p[slot][nbp_hd:, :w],
+                    bits=bits, bs=bs_h, k=h)
+                if has_qkv_bias:
+                    part = part + qkvb_ref[0, 0,
+                                           cq * two_ci:cq * two_ci + w]
+                part = _bf16r(part)
+                qkv_scr[:, cq * two_ci:cq * two_ci + w] = part
 
-    @pl.when(jnp.logical_and(p == n_qkv - 1, lv))
+    @pl.when(jnp.logical_and(p == (0 if plan.deep else n_qkv - 1), lv))
     def _rope_seed_phase():
         qkv = qkv_scr[...]
         # per (batch, kv-head): extract rows, rope, qk-norm, quantize, seed
@@ -772,38 +1017,40 @@ def _kernel(
     # made the kernel's code size O(n_wo + n_mlp), which at 7B dims
     # (n_mlp=37) exploded Mosaic compile time and blew the instruction
     # budget at runtime.
-    @pl.when(jnp.logical_and(jnp.logical_and(p >= W0, p < W0 + n_wo), lv))
-    def _wo_phase():
-        c_w = p - W0
-        if n_wo == 1:
-            att = att_scr[0]
-        else:
-            att = att_scr[c_w]        # dynamic MAJOR-dim index
-        term = _qmatmul(att, wo_ref, so_ref[0, 0], bo_ref[0, 0],
-                        bits=bits, bs=bs_h, k=bkwo)
+    if not plan.deep:
+        @pl.when(jnp.logical_and(
+                jnp.logical_and(p >= W0, p < W0 + n_wo), lv))
+        def _wo_phase():
+            c_w = p - W0
+            if n_wo == 1:
+                att = att_scr[0]
+            else:
+                att = att_scr[c_w]        # dynamic MAJOR-dim index
+            term = _qmatmul(att, wo_ref, so_ref[0, 0], bo_ref[0, 0],
+                            bits=bits, bs=bs_h, k=bkwo)
 
-        @pl.when(c_w == 0)
-        def _():
-            acc_scr[...] = term
+            @pl.when(c_w == 0)
+            def _():
+                acc_scr[...] = term
 
-        @pl.when(c_w > 0)
-        def _():
-            acc_scr[...] = acc_scr[...] + term
+            @pl.when(c_w > 0)
+            def _():
+                acc_scr[...] = acc_scr[...] + term
 
-        @pl.when(c_w == n_wo - 1)
-        def _():
-            # per-layer: o is a bf16 kernel output, then x = x + o in
-            # bf16 — round o first, then the bf16 residual sum.
-            # (acc_scr already holds this phase's term: VMEM stores commit
-            # in program order within the kernel body.)
-            o = _bf16r(acc_scr[...])
-            if sandwich:  # gemma: post-ATTENTION norm on the output
-                o = _bf16r(_rms(o, postnorm_ref[0, 0], eps))
-            x = _bf16r(x_scr[...] + o)
-            x_scr[...] = x
-            rn_scr[...] = _rms(
-                x, preffn_ref[0, 0] if sandwich else postnorm_ref[0, 0],
-                eps)
+            @pl.when(c_w == n_wo - 1)
+            def _():
+                # per-layer: o is a bf16 kernel output, then x = x + o in
+                # bf16 — round o first, then the bf16 residual sum.
+                # (acc_scr already holds this phase's term: VMEM stores
+                # commit in program order within the kernel body.)
+                o = _bf16r(acc_scr[...])
+                if sandwich:  # gemma: post-ATTENTION norm on the output
+                    o = _bf16r(_rms(o, postnorm_ref[0, 0], eps))
+                x = _bf16r(x_scr[...] + o)
+                x_scr[...] = x
+                rn_scr[...] = _rms(
+                    x, preffn_ref[0, 0] if sandwich else postnorm_ref[0, 0],
+                    eps)
 
     # ---- fused MLP chunk pairs: gate/up chunk -> SwiGLU -> down chunk -------
     # Two modes (plan.mlp_manual, measured crossover in _Plan.phases):
@@ -817,10 +1064,10 @@ def _kernel(
         """One chunk pair: gate/up matmul -> swiglu -> down matmul term.
 
         sb_* stack scale rows then bias rows; the split offset is padded
-        to 8 rows only in manual mode (a DMA-slice alignment requirement
-        that the revolving pipeline does not have — and padded rows there
-        would be wasted HBM traffic)."""
-        pad8 = plan.mlp_manual
+        to 8 rows only in manual/deep mode (a DMA-slice alignment
+        requirement that the revolving pipeline does not have — and padded
+        rows there would be wasted HBM traffic)."""
+        pad8 = plan.mlp_manual or plan.deep
         nbp_h = round_up(h // bs_h, 8) if pad8 else h // bs_h
         nbp_i = round_up(ci // bs_i, 8) if pad8 else ci // bs_i
         rn2 = rn_scr[...]
@@ -844,7 +1091,7 @@ def _kernel(
         return _qmatmul_rows(act, read_dn, sb_d[:nbp_i], sb_d[nbp_i:],
                              bits=bits, bs=bs_i, k=ci)
 
-    if not plan.mlp_manual:
+    if not plan.mlp_manual and not plan.deep:
         M0 = W0 + n_wo
 
         @pl.when(jnp.logical_and(
@@ -920,6 +1167,102 @@ def _kernel(
             def _():
                 xo_ref[...] = x
 
+    # ---- DEEP tail: manual wo loop + MLP ring loop in the last KV phase ----
+    if plan.deep:
+        @pl.when(jnp.logical_and(p == A0 + nkv - 1, lv))
+        def _deep_tail():
+            # output projection: B-ring wo chunks (unrolled, static)
+            for cw in range(n_wo):
+                slot = jax.lax.rem(l * RB + cw, S_r)
+                nxt = cw + 2
+                if nxt < n_wo:
+                    for dma in b_dma_wo(l, nxt):
+                        dma.start()
+                elif nxt - n_wo < min(2, n_mlp):
+                    for dma in b_dma_dn(l, nxt - n_wo):
+                        dma.start()
+                for dma in b_dma_wo(l, cw):
+                    dma.wait()
+                att = att_scr[cw] if n_wo > 1 else att_scr[0]
+                term = _qmatmul_rows(
+                    att, lambda r0, r1, slot=slot: b_w[slot, r0:r1, :],
+                    b_p[slot][:nbp_bd], b_p[slot][nbp_bd:],
+                    bits=bits, bs=bs_h, k=ci)
+                if cw == 0:
+                    acc_scr[...] = term
+                else:
+                    acc_scr[...] = acc_scr[...] + term
+            o = _bf16r(acc_scr[...])
+            if sandwich:
+                o = _bf16r(_rms(o, postnorm_ref[0, 0], eps))
+            x1 = _bf16r(x_scr[...] + o)
+            x_scr[...] = x1
+            rn_scr[...] = _rms(
+                x1, preffn_ref[0, 0] if sandwich else postnorm_ref[0, 0],
+                eps)
+
+            # MLP chunk pairs, both rings at depth 3
+            def chunk(c_m, _):
+                a_sl = jax.lax.rem(l * RA + n_qkv + c_m, S_r)
+                b_sl = jax.lax.rem(l * RB + n_wo + c_m, S_r)
+                nxt = c_m + 2
+
+                @pl.when(nxt < n_mlp)
+                def _():
+                    for dma in a_dma_gu(l, nxt):
+                        dma.start()
+                    for dma in b_dma_dn(l, nxt):
+                        dma.start()
+
+                @pl.when(nxt >= n_mlp)
+                def _():
+                    j = nxt - n_mlp       # 0 or 1 (n_mlp >= 2 by plan)
+
+                    @pl.when(l + 1 < nl)
+                    def _():
+                        for jj in range(2):
+                            @pl.when(j == jj)
+                            def _(jj=jj):
+                                a_start_pos01(l + 1, jj)
+                                b_start_pos01(l + 1, jj)
+
+                    if fuse_head:
+                        @pl.when(l + 1 == nl)
+                        def _():
+                            for dma in a_dma_head(j):
+                                dma.start()
+
+                for dma in a_dma_gu(l, c_m):
+                    dma.wait()
+                for dma in b_dma_dn(l, c_m):
+                    dma.wait()
+                term = _mlp_math(
+                    lambda r0, r1, a_sl=a_sl: a_w[a_sl, r0:r1, :],
+                    a_p[a_sl],
+                    lambda r0, r1, b_sl=b_sl: b_w[b_sl, r0:r1, :],
+                    b_p[b_sl])
+
+                @pl.when(c_m == 0)
+                def _():
+                    acc_scr[...] = term
+
+                @pl.when(c_m > 0)
+                def _():
+                    acc_scr[...] = acc_scr[...] + term
+
+                return 0
+
+            jax.lax.fori_loop(0, n_mlp, chunk, 0)
+            dn_o = _bf16r(acc_scr[...])
+            if sandwich:
+                dn_o = _bf16r(_rms(dn_o, postffn_ref[0, 0], eps))
+            x2 = _bf16r(x_scr[...] + dn_o)
+            x_scr[...] = x2
+
+            @pl.when(l == nl - 1)
+            def _():
+                xo_ref[...] = x2
+
     # ---- fused lm head + greedy argmax (one extra grid step) ---------------
     # The head streams through 2 manually double-buffered VMEM slots inside
     # THIS single step: a revolving-buffer grid phase per vocab chunk would
@@ -927,7 +1270,75 @@ def _kernel(
     # head's entire HBM-ideal read time). Logits are written out chunkwise
     # via async copies; a running (max, argmax) pair lives in VMEM so the
     # greedy token needs no XLA pass over the 150k-logit row afterwards.
-    if fuse_head:
+    if fuse_head and plan.deep:
+        # The head streams through the A ring, continuing from the last
+        # layer's gate/up chunks (positions nl*RA + c; chunks 0/1 were
+        # started by the last layer's MLP loop). Logits go out through 2
+        # manually double-buffered slots; running (max, argmax) in VMEM.
+        bnv = plan.bnv
+        nbh_d = h // bs_head
+        nbh_dp = round_up(nbh_d, 8)
+
+        def d_dma_out(c_i, slot):
+            st = pl.multiple_of(jnp.minimum(c_i * bnv, vocab - bnv), 128)
+            return pltpu.make_async_copy(
+                lo_scr.at[slot], logits_ref.at[:, pl.ds(st, bnv)],
+                out_sems.at[slot])
+
+        @pl.when(jnp.logical_and(l_raw == nl, p == 0))
+        def _deep_head_phase():
+            rn_scr[...] = _rms(x_scr[...], fnorm_ref[0:1, :], eps)
+            best_scr[...] = jnp.full((x_scr.shape[0], 128), NEG_INF,
+                                     jnp.float32)
+            besti_scr[...] = jnp.zeros((x_scr.shape[0], 128), jnp.int32)
+
+            def chunk_body(c_i, _):
+                slot = jax.lax.rem(nl * RA + c_i, S_r)
+
+                @pl.when(c_i + 2 < n_chunks)
+                def _():
+                    for dma in a_dma_head(c_i + 2):
+                        dma.start()
+
+                for dma in a_dma_head(c_i):
+                    dma.wait()
+                st = jnp.minimum(c_i * bnv, vocab - bnv)
+                acc = _qmatmul_rows(
+                    rn_scr[...],
+                    lambda r0, r1, slot=slot: a_w[slot, r0:r1, :],
+                    a_p[slot][:nbh_dp], a_p[slot][nbh_dp:2 * nbh_dp],
+                    bits=head_bits, bs=bs_head, k=h)
+
+                @pl.when(c_i >= 2)
+                def _():
+                    d_dma_out(c_i - 2, jax.lax.rem(c_i, 2)).wait()
+
+                lo_scr[jax.lax.rem(c_i, 2)] = acc
+                d_dma_out(c_i, jax.lax.rem(c_i, 2)).start()
+
+                b8_ = acc.shape[0]
+                m_c = jnp.max(acc, axis=1, keepdims=True)
+                col = st + jax.lax.broadcasted_iota(
+                    jnp.int32, (b8_, bnv), 1)
+                idx_c = jnp.min(
+                    jnp.where(acc == m_c, col, jnp.int32(2 ** 30)),
+                    axis=1, keepdims=True)
+                upd = m_c > best_scr[:, 0:1]
+                best_scr[...] = jnp.where(
+                    upd, jnp.broadcast_to(m_c, (b8_, 128)), best_scr[...])
+                besti_scr[...] = jnp.where(
+                    upd, jnp.broadcast_to(idx_c, (b8_, 128)),
+                    besti_scr[...])
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+            for back in (2, 1):
+                c_i = n_chunks - back
+                if c_i >= 0:
+                    d_dma_out(c_i, c_i % 2).wait()
+            token_ref[...] = besti_scr[...]
+
+    if fuse_head and not plan.deep:
         bnv = plan.bnv
         pack_h = 2 if head_bits == 4 else 1
         nbh = h // bs_head
@@ -1081,7 +1492,14 @@ def fused_decode_model(
                          "(supports() should have gated this config)")
     plan = plan0
     head_reuse = False
-    if head is not None:
+    if plan0.deep and head is not None:
+        # deep mode: the head streams through the shared A ring when its
+        # quant geometry matches the slots (bits, block size, plane dtype);
+        # otherwise the caller's separate autotuned head GEMV runs after
+        if not (head.bits == bits and head.block_size == bs_h
+                and head.scale.dtype == layers.wgu.scale.dtype):
+            head = None
+    elif head is not None:
         # Prefer DEDICATED head slots (exact-width buffers -> contiguous
         # slot DMAs, measured faster) but only when they fit WITHOUT
         # degrading the layer plan; else REUSE the drained MLP gu slots
@@ -1113,19 +1531,15 @@ def fused_decode_model(
     n_qkv, nkv, n_wo, n_mlp = plan.n_qkv, plan.nkv, plan.n_wo, plan.n_mlp
     bnq, bkwo, ci, bkv = plan.bnq, plan.bkwo, plan.ci, plan.bkv
 
-    if plan.fused_attn:
+    if plan.deep:
+        A0 = 1
+        W0 = 1 + nkv
+    elif plan.fused_attn:
         A0 = W0 = 0          # same grid step as qkv: bodies run in order
     else:
         A0 = n_qkv
         W0 = A0 + nkv
     quantized = kv_bits < 16
-
-    def unpack4(p32):
-        # nibble pairing (j, j + D/2), unsigned storage (q + 8):
-        # kvcache.quantize_kv4
-        lo4 = (p32 & 0xF) - 8
-        hi4 = ((p32 >> 4) & 0xF) - 8
-        return jnp.concatenate([lo4, hi4], axis=-1)
     P = plan.phases
 
     b8 = 8
@@ -1157,10 +1571,6 @@ def fused_decode_model(
     def plane4(a, k_dim, bs, chunk):
         return a.reshape(nl, k_dim // chunk, chunk // bs, a.shape[-1])
 
-    sq = plane(lay.wqkv.scale, h, bs_h)
-    bq = plane(lay.wqkv.bias, h, bs_h)
-    so = plane4(lay.wo.scale, dq, bs_h, bkwo)
-    bo = plane4(lay.wo.bias, dq, bs_h, bkwo)
     # MLP planes feed MANUAL DMAs (not revolving blocks): slice shapes must
     # be 8-row aligned in the sublane dim, so pad the row dims up front
     # (loop-invariant — XLA hoists the pads out of the decode scan)
@@ -1175,8 +1585,29 @@ def fused_decode_model(
         widths[dim] = (0, rows - a.shape[dim])
         return jnp.pad(a, widths)
 
-    gr = nb_h_pad if plan.mlp_manual else h // bs_h
-    dr = nb_ci_pad if plan.mlp_manual else nb_ci
+    if plan.deep:
+        # qkv planes stacked scale||bias [L, 2*nb_h_pad, NQ] (A-ring
+        # format); wo planes per chunk [L, n_wo, 2*nb_ci_pad, H] (B-ring)
+        sq = jnp.concatenate([
+            pad_rows(plane(lay.wqkv.scale, h, bs_h), nb_h_pad, 1),
+            pad_rows(plane(lay.wqkv.bias.astype(lay.wqkv.scale.dtype),
+                           h, bs_h), nb_h_pad, 1),
+        ], axis=1)
+        bq = jnp.zeros((1, 1, 128), jnp.float32)     # dummy block
+        so = jnp.concatenate([
+            pad_rows(plane4(lay.wo.scale, dq, bs_h, bkwo), nb_ci_pad, 2),
+            pad_rows(plane4(lay.wo.bias.astype(lay.wo.scale.dtype),
+                            dq, bs_h, bkwo), nb_ci_pad, 2),
+        ], axis=2)
+        bo = jnp.zeros((1, 1, 128), jnp.float32)     # dummy block
+    else:
+        sq = plane(lay.wqkv.scale, h, bs_h)
+        bq = plane(lay.wqkv.bias, h, bs_h)
+        so = plane4(lay.wo.scale, dq, bs_h, bkwo)
+        bo = plane4(lay.wo.bias, dq, bs_h, bkwo)
+    pad_manual = plan.mlp_manual or plan.deep
+    gr = nb_h_pad if pad_manual else h // bs_h
+    dr = nb_ci_pad if pad_manual else nb_ci
     gsb = jnp.concatenate([
         pad_rows(plane(lay.wgu.scale, h, bs_h), gr, 1),
         pad_rows(plane(lay.wgu.bias.astype(lay.wgu.scale.dtype), h, bs_h),
@@ -1307,7 +1738,17 @@ def fused_decode_model(
     )
 
     nb_h = h // bs_h
-    in_specs = [
+    in_specs = ([
+        pl.BlockSpec((b8, h), const2),                      # x
+        pl.BlockSpec((b8, 2, d), const3),                   # cos/sin
+        pl.BlockSpec(memory_space=pltpu.ANY),               # wqkv packed
+        pl.BlockSpec(memory_space=pltpu.ANY),               # sqb stacked
+        pl.BlockSpec((1, 1, 128), const3),                  # dummy bq
+        pl.BlockSpec((1, 1, nq), at_qkvb),                  # qkv out-bias
+        pl.BlockSpec(memory_space=pltpu.ANY),               # wo packed
+        pl.BlockSpec(memory_space=pltpu.ANY),               # wosb stacked
+        pl.BlockSpec((1, 1, 128), const3),                  # dummy bo
+    ] if plan.deep else [
         pl.BlockSpec((b8, h), const2),                      # x
         pl.BlockSpec((b8, 2, d), const3),                   # cos/sin
         pl.BlockSpec((1, h // pack, bnq), at_qkv),          # wqkv chunk
@@ -1317,12 +1758,12 @@ def fused_decode_model(
         pl.BlockSpec((1, bkwo // pack, h), at_wo),          # wo chunk
         pl.BlockSpec((1, 1, bkwo // bs_h, h), at_wo_sc),    # so
         pl.BlockSpec((1, 1, bkwo // bs_h, h), at_wo_sc),    # bo
-    ] + ([
+    ]) + ([
         pl.BlockSpec(memory_space=pltpu.ANY),               # wgu packed
         pl.BlockSpec(memory_space=pltpu.ANY),               # gsb planes
         pl.BlockSpec(memory_space=pltpu.ANY),               # wdown packed 4D
         pl.BlockSpec(memory_space=pltpu.ANY),               # dsb planes
-    ] if plan.mlp_manual else [
+    ] if pad_manual else [
         pl.BlockSpec((1, h // pack, 2 * ci), at_gu),        # wgu chunk
         pl.BlockSpec((1, 2 * (h // bs_h), 2 * ci), at_gu),  # gsb chunk
         pl.BlockSpec((1, 1, ci // pack, h), at_dn4),        # wdown chunk
@@ -1370,7 +1811,17 @@ def fused_decode_model(
         pltpu.VMEM((plan.n_wo, b8, plan.bkwo),
                    jnp.float32),                   # att (chunked)
     ]
-    if plan.mlp_manual:
+    if plan.deep:
+        scratch += [
+            # 3-deep shared slot rings: A (qkv/gu/head chunks), B (wo/dn)
+            pltpu.VMEM((3, h // pack, 2 * ci), jnp.int8),        # A weights
+            pltpu.VMEM((3, 2 * nb_h_pad, 2 * ci), lay.wgu.scale.dtype),
+            pltpu.VMEM((3, ci // pack, h), jnp.int8),            # B weights
+            pltpu.VMEM((3, 2 * nb_ci_pad, h), lay.wdown.scale.dtype),
+            pltpu.SemaphoreType.DMA((3, 2)),                     # A sems
+            pltpu.SemaphoreType.DMA((3, 2)),                     # B sems
+        ]
+    elif plan.mlp_manual:
         scratch += [
             # MLP manual-DMA double-buffer slots + semaphores
             pltpu.VMEM((2, h // pack, 2 * ci), jnp.int8),        # gu slots
@@ -1404,7 +1855,8 @@ def fused_decode_model(
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((b8, 128), const2),
         ]
-        if not head_reuse:
+        dedicated = not head_reuse and not plan.deep
+        if dedicated:
             scratch += [
                 pltpu.VMEM((plan.hslots, h // pack_h, plan.bnv), jnp.int8),
                 pltpu.VMEM((plan.hslots, 2 * nbh_pad, plan.bnv),
@@ -1415,7 +1867,7 @@ def fused_decode_model(
             pltpu.VMEM((b8, 128), jnp.float32),                    # best
             pltpu.VMEM((b8, 128), jnp.int32),                      # besti
         ]
-        if not head_reuse:
+        if dedicated:
             scratch += [pltpu.SemaphoreType.DMA((plan.hslots, 2))]
         scratch += [pltpu.SemaphoreType.DMA((2,))]
         head_args = (

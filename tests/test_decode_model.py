@@ -134,6 +134,60 @@ class TestMegakernel:
         params, cache = _setup(BASE, cap=1024, prefill_len=30)
         _compare(BASE, params, cache)
 
+    def test_deep_plan_parity(self):
+        """DEEP mode (3-deep shared slot rings, 7B-class code path): force
+        it by disabling the manual-MLP crossover, then run the full
+        per-step parity harness (logits + KV rows over 3 decode steps)."""
+        orig = decode_model.MLP_MANUAL_MAX
+        decode_model.MLP_MANUAL_MAX = 0
+        try:
+            params, cache = _setup(BASE)
+            plan = decode_model._plan(
+                BASE, params.layers,
+                type("CV", (), {"capacity": cache.capacity, "bits": 8})(), 1)
+            assert plan is not None and plan.deep, plan
+            _compare(BASE, params, cache)
+        finally:
+            decode_model.MLP_MANUAL_MAX = orig
+
+    def test_deep_multichunk_tail(self):
+        """DEEP mode with n_qkv/n_wo/n_mlp all > 1 AND a non-full qkv tail
+        chunk (nq = 896 with 2ci = 256 -> 4 chunks, last 128 wide) — the
+        exact shape class the 7B plan runs (nq=4608, 2ci=1024, tail 512).
+        Checks the fused kernel against the per-layer oracle directly
+        (logits tolerance covers the pre-existing ~2.5e-4 multi-chunk
+        reassociation wobble, present on the revolving path too)."""
+        cfg = dataclasses.replace(BASE, num_heads=10)
+        orig_b, orig_m = decode_model.VMEM_BUDGET, decode_model.MLP_MANUAL_MAX
+        decode_model.MLP_MANUAL_MAX = 0
+        decode_model.VMEM_BUDGET = 1536 << 10
+        try:
+            params, cache = _setup(cfg)
+            plan = decode_model._plan(
+                cfg, params.layers,
+                type("CV", (), {"capacity": cache.capacity, "bits": 8})(), 1)
+            assert plan is not None and plan.deep, plan
+            assert plan.n_qkv > 1 and plan.n_wo > 1 and plan.n_mlp > 2, plan
+            assert plan.n_qkv * 2 * plan.ci > (
+                (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim
+            ), "expected a partial tail chunk"
+            tok = jax.random.randint(
+                jax.random.PRNGKey(2), (1, 1), 0, cfg.vocab_size, jnp.int32)
+            ref, cache_pl = _perlayer_forward(params, cfg, tok, cache)
+            mk, cache_mk = forward(params, cfg, tok, cache, interpret=True)
+            m = np.asarray(mk, np.float32)
+            r = np.asarray(ref, np.float32)
+            assert np.all(np.isfinite(m))
+            rel = np.linalg.norm(m - r) / max(np.linalg.norm(r), 1e-9)
+            assert rel < 1e-3, f"deep multichunk logits rel err {rel}"
+            for name in ("k", "v"):
+                a = np.asarray(getattr(cache_mk, name), np.float32)
+                b = np.asarray(getattr(cache_pl, name), np.float32)
+                assert np.abs(a - b).max() <= 1.0, name
+        finally:
+            decode_model.VMEM_BUDGET = orig_b
+            decode_model.MLP_MANUAL_MAX = orig_m
+
     def test_multichunk_plan(self):
         """7B-shaped code path: force the VMEM planner to chunk EVERY
         projection (n_qkv/n_wo/n_mlp > 1) by shrinking the budget, then
