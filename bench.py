@@ -123,10 +123,20 @@ def bench_preset(preset: str, pp: int = PP, tg: int = TG,
     t_hi = min(queue_prefill(12) for _ in range(REPS))
     prefill_s = (t_hi - t_lo) / 10
     prefill_tok_s = pp / prefill_s
-    # prefill MFU: 2 flops/MAC over the dense path at bf16 peak ~197 TF/s
+    # prefill MFU: 2 flops/MAC of USEFUL work at bf16 peak ~197 TF/s.
+    # MoE: intermediate_size covers the shared expert (qwen1.5-moe keys
+    # them equal); the routed top-k experts' flops are useful work too
+    # and must be counted (the round-4 formula omitted them, deflating
+    # MoE MFU by the active/shared ratio).
+    mlp_flops = 3 * c.hidden_size * c.intermediate_size
+    if c.is_moe:
+        mlp_flops = (3 * c.hidden_size * c.moe_intermediate_size
+                     * c.num_experts_per_tok
+                     + 3 * c.hidden_size
+                     * c.shared_expert_intermediate_size)
     flops_tok = 2 * c.num_layers * (
         c.hidden_size * (c.num_heads + 2 * c.num_kv_heads) * c.head_dim
-        + c.q_dim * c.hidden_size + 3 * c.hidden_size * c.intermediate_size)
+        + c.q_dim * c.hidden_size + mlp_flops)
     mfu = prefill_tok_s * flops_tok / 197e12
 
     # --- decode: tg128 after pp512, step-count differencing ----------------
@@ -231,6 +241,7 @@ def main():
     big = _run_subprocess("qwen2-7b")
     moe = _run_subprocess("qwen1.5-moe-a2.7b")
     gemma = _run_subprocess("gemma2-2b")
+    gemma3 = _run_subprocess("gemma3-4b")
     # long-context row: int4 KV halves decode KV traffic vs int8 at
     # pp2048 (reference TQ4-class sub-byte KV, CPUKVCacheManager.hpp:20)
     long8 = _run_subprocess("qwen2-0.5b", ("--pp", "2048"))
@@ -252,6 +263,7 @@ def main():
         "qwen2_7b": big,
         "qwen1.5_moe_a2.7b": moe,
         "gemma2_2b": gemma,
+        "gemma3_4b": gemma3,
         "longctx_pp2048_kv8": long8,
         "longctx_pp2048_kv4": long4,
         "baseline": "MNN Qwen2-0.5B INT4 iPhone 15 Pro"

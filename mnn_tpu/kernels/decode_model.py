@@ -254,7 +254,7 @@ def _plan(c, layers, cache, batch: int, head=None,
         / out_specs / scratch_shapes built in fused_decode_model."""
         dbl = (
             _vb((b8, h), 4)                     # x
-            + _vb((b8, 2, d), 4)                # cos/sin
+            + _vb((b8, 4, d), 4)                # cos/sin
             + _vb((h // pack, bnq), 1)          # wqkv chunk
             + 2 * _vb((h // bs_h, bnq), sb_q)   # sq/bq
             + _vb((1, nq), 4)                   # qkv out-bias
@@ -371,7 +371,7 @@ def _plan(c, layers, cache, batch: int, head=None,
                 + _vb((2 * nbp_b, h), sb_d)         # B plane slots
             )
             dbl = (
-                _vb((b8, h), 4) + _vb((b8, 2, d), 4)
+                _vb((b8, h), 4) + _vb((b8, 4, d), 4)
                 + _vb((1, nq), 4)                   # qkv out-bias
                 + 2 * _vb((1, 128), 4)              # dummy bq/bo blocks
                 + 4 * _vb((1, h), 4) + _vb((2, d), 4)
@@ -438,9 +438,10 @@ def supports(config, params, cache, batch: int) -> bool:
     if c.is_moe or c.kv_rotate:
         return False
     # gemma2-class configs (sandwich norms, gelu, score softcap,
-    # alternating windows) are handled by kernel flags; gemma3's N:1
-    # pattern + dual rope still runs the unrolled per-layer path
-    if c.mlp_act not in ("silu", "gelu_tanh") or c.swa_pattern:
+    # alternating windows) and gemma3's N:1 sliding pattern + dual rope
+    # are all handled by kernel flags (swa_alt / swa_p + a second
+    # cos/sin pair in the phase operand)
+    if c.mlp_act not in ("silu", "gelu_tanh"):
         return False
     if cache.bits not in (4, 8, 16) or getattr(cache, "codebook", False):
         return False
@@ -584,7 +585,7 @@ def _kernel(
     plan: _Plan,
     bits, bs_h, bs_i, has_qkv_bias, use_qk_norm,
     scale, eps, kv_bits, window, sink,
-    softcap=0.0, gelu=False, sandwich=False, swa_alt=False,
+    softcap=0.0, gelu=False, sandwich=False, swa_alt=False, swa_p=0,
     fuse_head=False, head_reuse=False, n_chunks=0, vocab=0, head_bits=4,
     bs_head=128,
 ):
@@ -848,9 +849,17 @@ def _kernel(
     def _rope_seed_phase():
         qkv = qkv_scr[...]
         # per (batch, kv-head): extract rows, rope, qk-norm, quantize, seed
+        if swa_p:
+            # gemma3 dual rope: sliding layers use the LOCAL phase pair
+            # (cs rows 2/3); every swa_p-th layer is global (rows 0/1)
+            l_glob = jax.lax.rem(l + 1, swa_p) == 0
         for bi in range(b):
-            cos = cs_ref[bi, 0:1]
-            sin = cs_ref[bi, 1:2]
+            if swa_p:
+                cos = jnp.where(l_glob, cs_ref[bi, 0:1], cs_ref[bi, 2:3])
+                sin = jnp.where(l_glob, cs_ref[bi, 1:2], cs_ref[bi, 3:4])
+            else:
+                cos = cs_ref[bi, 0:1]
+                sin = cs_ref[bi, 1:2]
             # Mosaic concat requires identical vreg offsets: normalize the
             # batch row to sublane 0 (roll over sublanes), and pre-roll a
             # 64-lane-shifted copy so every D-wide slice below starts at a
@@ -952,6 +961,16 @@ def _kernel(
                     if window and swa_alt:
                         # gemma2: even layers slide, odd layers are global
                         win_l = jnp.where(l % 2 == 0, window, 0)
+                        in_w = jnp.logical_or(
+                            win_l <= 0, col > len_old - win_l)
+                        if sink:
+                            in_w = jnp.logical_or(in_w, col < sink)
+                        mask = jnp.logical_and(mask, in_w)
+                    elif window and swa_p:
+                        # gemma3: every swa_p-th layer is global, the
+                        # rest slide
+                        win_l = jnp.where(
+                            jax.lax.rem(l + 1, swa_p) == 0, 0, window)
                         in_w = jnp.logical_or(
                             win_l <= 0, col > len_old - win_l)
                         if sink:
@@ -1444,6 +1463,8 @@ def fused_decode_model(
     interpret: bool = False,
     head=None,                 # QuantizedLinear [hidden, vocab] to fuse
     final_norm: Optional[jax.Array] = None,  # [hidden] (required with head)
+    cos_l: Optional[jax.Array] = None,  # [B, D] gemma3 LOCAL rope phases
+    sin_l: Optional[jax.Array] = None,  # (required when config.swa_pattern)
 ):
     """Run all decoder layers for one decode position in one kernel.
 
@@ -1546,11 +1567,21 @@ def fused_decode_model(
     xp = jnp.zeros((b8, h), jnp.float32).at[:b].set(x.astype(jnp.float32))
     lens = jnp.zeros((b8,), jnp.int32).at[:b].set(
         jnp.asarray(lengths, jnp.int32))
-    cs = jnp.zeros((b8, 2, d), jnp.float32)
-    cs = cs.at[:b, 0].set(jnp.concatenate([cos, cos], axis=-1)[:, :d]
-                          if cos.shape[-1] * 2 == d else cos)
-    cs = cs.at[:b, 1].set(jnp.concatenate([sin, sin], axis=-1)[:, :d]
-                          if sin.shape[-1] * 2 == d else sin)
+    if c.swa_pattern and (cos_l is None or sin_l is None):
+        raise ValueError("swa_pattern config requires cos_l/sin_l phases")
+
+    def _full_width(a):
+        return (jnp.concatenate([a, a], axis=-1)[:, :d]
+                if a.shape[-1] * 2 == d else a)
+
+    # rows 0/1: global cos/sin; rows 2/3: gemma3 local-theta cos/sin
+    # (zeros when unused — the kernel only reads them under swa_p)
+    cs = jnp.zeros((b8, 4, d), jnp.float32)
+    cs = cs.at[:b, 0].set(_full_width(cos))
+    cs = cs.at[:b, 1].set(_full_width(sin))
+    if cos_l is not None:
+        cs = cs.at[:b, 2].set(_full_width(cos_l))
+        cs = cs.at[:b, 3].set(_full_width(sin_l))
 
     lay = layers
     has_qkv_bias = lay.wqkv.out_bias is not None
@@ -1730,7 +1761,7 @@ def fused_decode_model(
         scale=sm_scale, eps=c.rms_norm_eps, kv_bits=kv_bits,
         window=c.sliding_window, sink=c.attention_sink,
         softcap=c.attn_softcap, gelu=c.mlp_act == "gelu_tanh",
-        sandwich=c.sandwich_norm, swa_alt=c.swa_every_other,
+        sandwich=c.sandwich_norm, swa_alt=c.swa_every_other, swa_p=c.swa_pattern,
         fuse_head=fuse_head, head_reuse=head_reuse, n_chunks=n_chunks,
         vocab=vocab,
         head_bits=head.bits if fuse_head else 4,
@@ -1740,7 +1771,7 @@ def fused_decode_model(
     nb_h = h // bs_h
     in_specs = ([
         pl.BlockSpec((b8, h), const2),                      # x
-        pl.BlockSpec((b8, 2, d), const3),                   # cos/sin
+        pl.BlockSpec((b8, 4, d), const3),                   # cos/sin
         pl.BlockSpec(memory_space=pltpu.ANY),               # wqkv packed
         pl.BlockSpec(memory_space=pltpu.ANY),               # sqb stacked
         pl.BlockSpec((1, 1, 128), const3),                  # dummy bq
@@ -1750,7 +1781,7 @@ def fused_decode_model(
         pl.BlockSpec((1, 1, 128), const3),                  # dummy bo
     ] if plan.deep else [
         pl.BlockSpec((b8, h), const2),                      # x
-        pl.BlockSpec((b8, 2, d), const3),                   # cos/sin
+        pl.BlockSpec((b8, 4, d), const3),                   # cos/sin
         pl.BlockSpec((1, h // pack, bnq), at_qkv),          # wqkv chunk
         pl.BlockSpec((1, nb_h, bnq), at_qkv),               # sq
         pl.BlockSpec((1, nb_h, bnq), at_qkv),               # bq

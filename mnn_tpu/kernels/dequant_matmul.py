@@ -87,6 +87,63 @@ def _kernel_a8(lidx_ref, x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref,
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+# x rows at/above which the dequantize-tile kernel replaces the
+# partial-product kernels. DISABLED by default: measured on chip at
+# pp512, pattern-side dequant is neutral at 0.5B (33.1% vs 33.0% MFU)
+# and slightly WORSE at 7B (57.8% vs 59.4% with the a8 partial path) —
+# the int4 unpack dominates the VPU either way, so moving the scale
+# algebra pattern-side buys nothing at m=512. Kept for re-evaluation at
+# larger prefill chunks (the dequant amortizes over m).
+DEQ_MIN_M = 1 << 30
+
+
+def _kernel_deq(lidx_ref, x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref,
+                *, bits, block_size, nb):
+    """Prefill-shape path (m >= DEQ_MIN_M): per-block PATTERN-side dequant.
+
+    Each 128-row quant block is dequantized to bf16 (q*s + b, VPU cost
+    proportional to bs*bn — amortized over all bm activation rows) and
+    immediately consumed by a dot; Mosaic overlaps block kb+1's unpack
+    with block kb's MXU pass. The partial-product kernels instead pay ~4
+    VPU passes over the (bm, bn) f32 PARTIAL per block — at m >= 256
+    that's the larger surface and capped prefill MFU (33% at 0.5B / 59%
+    at 7B, round 4). A dequantize-the-whole-tile-then-one-big-dot variant
+    measured WORSE (30.8%/52.7%): the single dot is a barrier, so the
+    tile's unpack cannot hide under any MXU time. (Decode keeps the
+    partial-product algebra: at m <= 8 a (bs, bn) dequant is 16x more VPU
+    work than scaling the (8, bn) partial.)
+    """
+    del lidx_ref
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    bs = block_size
+    half = bs // 2
+    x = x_ref[...]
+    acc = acc_ref[...]
+    for kb in range(nb):
+        if bits == 4:
+            w32 = w_ref[0, kb * half:(kb + 1) * half, :].astype(jnp.int32)
+            lo = w32 & 0xF
+            hi = (w32 >> 4) & 0xF
+            q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)
+        else:
+            w32 = w_ref[0, kb * bs:(kb + 1) * bs, :].astype(jnp.int32)
+            q = (w32 & 0xFF).astype(jnp.float32)
+        s = s_ref[0, kb].astype(jnp.float32)       # [1, bn]
+        b = b_ref[0, kb].astype(jnp.float32)
+        wd = (q * s + b).astype(jnp.bfloat16)
+        xb = x[:, kb * bs:(kb + 1) * bs]
+        acc = acc + jnp.dot(xb, wd, preferred_element_type=jnp.float32)
+    acc_ref[...] = acc
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _done():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
 def _kernel(lidx_ref, x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref,
             *, bits, block_size, nb):
     del lidx_ref  # consumed by the BlockSpec index maps (layer offset)
@@ -302,7 +359,11 @@ def _dequant_matmul_pallas(
     m = 1
     for d in lead:
         m *= d
-    a8 = ql.act_bits == 8
+    # dequantize-tile path for prefill shapes: bf16 activations regardless
+    # of act_bits (the int8-MXU a8 path cannot beat it — the VPU unpack,
+    # not the MXU rate, was the binding cost; measured round 4)
+    use_deq = m >= DEQ_MIN_M
+    a8 = ql.act_bits == 8 and not use_deq
     if a8:
         from mnn_tpu.quant.quantize import quantize_activations_int8
 
@@ -339,12 +400,19 @@ def _dequant_matmul_pallas(
         # path, so f32 planes cost no meaningful bandwidth there)
         bias_in = (center * scale.astype(jnp.float32)
                    + bias.astype(jnp.float32))
+    elif use_deq:
+        kernel = functools.partial(
+            _kernel_deq, bits=ql.bits, block_size=bs, nb=nb
+        )
+        scale_in = scale
+        bias_in = bias
     else:
         kernel = functools.partial(
             _kernel, bits=ql.bits, block_size=bs, nb=nb
         )
         scale_in = scale
         bias_in = bias
+    scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
     nl = packed.shape[0]
     out = pl.pallas_call(
         kernel,
@@ -364,7 +432,7 @@ def _dequant_matmul_pallas(
                 ),
             ],
             out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk, L: (i, j)),
-            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
         compiler_params=pltpu.CompilerParams(

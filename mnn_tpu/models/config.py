@@ -218,6 +218,17 @@ PRESETS = {
         final_softcap=30.0, query_scale=256.0 ** -0.5,
         swa_every_other=True,
     ),
+    # gemma3-4b (public HF config): 5:1 sliding/full layer pattern with
+    # dual rope theta (1M global / 10k local), qk-norm, sandwich norms,
+    # gelu MLP, 256-wide heads, no score softcap (unlike gemma2)
+    "gemma3-4b": ModelConfig(
+        name="gemma3-4b", vocab_size=262208, hidden_size=2560,
+        intermediate_size=10240, num_layers=34, num_heads=8, num_kv_heads=4,
+        head_dim=256, rope_theta=1000000.0, tie_word_embeddings=True,
+        attention_bias=False, sliding_window=1024, mlp_act="gelu_tanh",
+        embed_scale=True, sandwich_norm=True, qk_norm=True,
+        query_scale=256.0 ** -0.5, swa_pattern=6, rope_local_theta=10000.0,
+    ),
     "qwen3-moe-30b-a3b": ModelConfig(
         name="qwen3-moe-30b-a3b", vocab_size=151936, hidden_size=2048,
         intermediate_size=6144, num_layers=48, num_heads=32, num_kv_heads=4,

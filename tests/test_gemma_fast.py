@@ -69,6 +69,37 @@ class TestGemmaFastPath:
         qk-norm."""
         self._roundtrip(G3)
 
+    def test_gemma3_megakernel_eligible_and_matches(self):
+        """gemma3 now runs the whole-model megakernel (swa_p flag: per-layer
+        window select + dual-rope phase select in-kernel); pin it against
+        the per-layer fused path, which is itself scan-pinned above."""
+        from mnn_tpu.kernels import decode_model
+
+        params = init_random_params(G3, jax.random.PRNGKey(0), scale=0.05)
+        cache = kvcache.create(G3.num_layers, 1, G3.num_kv_heads, 64,
+                               G3.head_dim, quantized=True)
+        toks = jax.random.randint(jax.random.PRNGKey(1), (1, 12), 0,
+                                  G3.vocab_size, jnp.int32)
+        _, cache = forward(params, G3, toks, cache, interpret=False)
+        assert decode_model.supports(G3, params, cache, 1), \
+            "gemma3 must be megakernel-eligible"
+        tok = jnp.asarray([[3]], jnp.int32)
+        for step in range(3):
+            ref, cache_pl = forward(params, G3, tok, cache, interpret=True,
+                                    megakernel=False)
+            got, cache = forward(params, G3, tok, cache, interpret=True,
+                                 megakernel=True)
+            r = np.asarray(ref, np.float32)
+            g = np.asarray(got, np.float32)
+            assert np.isfinite(g).all()
+            rel = np.linalg.norm(g - r) / max(np.linalg.norm(r), 1e-9)
+            assert rel < 2e-2, (step, rel)
+            for name in ("k", "v"):
+                a = np.asarray(getattr(cache, name), np.float32)
+                b_ = np.asarray(getattr(cache_pl, name), np.float32)
+                assert np.abs(a - b_).max() <= 1.0, name
+            tok = jnp.argmax(got, axis=-1).astype(jnp.int32)[:, None]
+
     def test_window_actually_differs_across_layers(self):
         """Sanity: gemma2 decode with a long history must differ from a
         no-window variant (the alternating window is really applied)."""
