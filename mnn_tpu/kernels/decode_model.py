@@ -183,17 +183,21 @@ def _plan(c, layers, cache, batch: int, head=None,
         s, l2 = shape[-2], shape[-1]
         return lead * round_up(s, sub) * round_up(l2, 128) * esize
 
-    # KV tile: candidates up to 1024 (measured: one 1024-tile beats two
-    # 512-tiles by ~50us/step on the 0.5B bench — one less phase/layer).
-    # Tiles are searched jointly with the weight chunks below; a non-512
-    # tile reorders the online-softmax f32 sums vs decode_step.py by
-    # ~1e-8, which the parity tests' KV-tie tolerance already covers.
+    # KV tile: candidates up to 4096 (measured: one 1024-tile beats two
+    # 512-tiles by ~50us/step on the 0.5B bench — one less phase/layer —
+    # and long caches want even fewer attention phases: at capacity 4096
+    # the 1024-tile plan pays 3 extra grid steps/layer, most of the
+    # round-4 long-context gap). The solver weighs them jointly with the
+    # weight chunks under the VMEM budget; a non-512 tile reorders the
+    # online-softmax f32 sums vs decode_step.py by ~1e-8, which the
+    # parity tests' KV-tie tolerance already covers.
     bkv0 = largest_divisor_leq(s, min(512, s), min(512, s))
     if s % bkv0:
         return None
     bkv_opts = [bkv0]
-    if s % 1024 == 0:
-        bkv_opts.insert(0, 1024)
+    for big in (1024, 2048, 4096):
+        if s % big == 0:
+            bkv_opts.insert(0, big)
 
     # lm-head fusion: the head streams through 2 manually double-buffered
     # VMEM slots inside ONE grid step (per-grid-step fixed cost ~2us would

@@ -69,6 +69,10 @@ class Request:
     deadline: Optional[float] = None
     # per-request (token_id, bias) pairs (OpenAI logit_bias semantics)
     logit_bias: Optional[tuple] = None
+    # OpenAI logprobs: -1 = off; 0 = chosen-token logprob only; k > 0 =
+    # chosen + top-k alternatives. When on, out-queue items are
+    # (token, logprob, [(alt_id, alt_logprob), ...]) tuples instead of ints.
+    logprobs: int = -1
 
 
 @functools.partial(
@@ -125,7 +129,7 @@ def _reset_slot(cache: KVCache, slot: jax.Array) -> KVCache:
 @functools.partial(
     jax.jit,
     static_argnames=("config", "steps", "sampler_name", "temperature",
-                     "top_k", "top_p", "min_p", "penalty"),
+                     "top_k", "top_p", "min_p", "penalty", "n_top_lp"),
     donate_argnums=(2,),
 )
 def _decode_block(
@@ -144,13 +148,17 @@ def _decode_block(
     min_p: float,
     penalty: float,
     logit_bias=None,   # [V] additive bias (traced) or None
+    n_top_lp: int = -1,  # -1 off; 0 chosen logprob; k>0 chosen + top-k
 ):
     """Forward+sample `steps` times for the whole batch in one dispatch.
 
     Unlike generate.decode_steps (which samples first from given logits),
     this forwards the provided last_tokens first — every slot always has a
     well-defined newest token (from prefill or the previous block).
-    Returns (tokens [B, steps], cache, state, key).
+    Returns (tokens [B, steps], cache, state, key[, lp [B, steps],
+    top_ids/top_lps [B, steps, k]]) — logprobs are of the raw model
+    distribution (log-softmax of the unbiased logits), matching OpenAI's
+    reported values rather than the sampler's modified distribution.
     """
 
     def body(carry, _):
@@ -162,12 +170,22 @@ def _decode_block(
             top_k=top_k, top_p=top_p, min_p=min_p, penalty=penalty,
             logit_bias=logit_bias,
         )
-        return (cache, nxt, st, key), nxt
+        if n_top_lp < 0:
+            return (cache, nxt, st, key), nxt
+        lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        lp = jnp.take_along_axis(lsm, nxt[:, None], axis=-1)[:, 0]
+        kk = max(n_top_lp, 1)
+        tvals, tids = jax.lax.top_k(lsm, kk)
+        return (cache, nxt, st, key), (nxt, lp, tids, tvals)
 
-    (cache, _, state, key), toks = jax.lax.scan(
+    (cache, _, state, key), out = jax.lax.scan(
         body, (cache, last_tokens, state, key), None, length=steps
     )
-    return jnp.transpose(toks), cache, state, key
+    if n_top_lp < 0:
+        return jnp.transpose(out), cache, state, key
+    toks, lp, tids, tvals = out
+    return (jnp.transpose(toks), cache, state, key, jnp.transpose(lp),
+            jnp.transpose(tids, (1, 0, 2)), jnp.transpose(tvals, (1, 0, 2)))
 
 
 class BatchEngine:
@@ -271,11 +289,13 @@ class BatchEngine:
 
     def submit(self, token_ids: List[int], max_new_tokens: Optional[int] = None,
                timeout_s: Optional[float] = None,
-               logit_bias=None) -> Request:
+               logit_bias=None, logprobs: int = -1) -> Request:
         """timeout_s (default rt.timeout_s, 0 = unlimited): wall-clock
         deadline; expired requests finish with Status.TIMEOUT between
         decode blocks (the reference's decode-loop timeout check,
-        generate.cpp:52-56)."""
+        generate.cpp:52-56). logprobs: -1 off, 0 chosen-token logprob,
+        k>0 chosen + top-k alternatives per token (out-queue items become
+        (token, logprob, [(alt, lp)...]) tuples)."""
         t = timeout_s if timeout_s is not None else self.rt.timeout_s
         req = Request(
             rid=next(self._rid),
@@ -283,6 +303,7 @@ class BatchEngine:
             max_new_tokens=max_new_tokens or self.rt.max_new_tokens,
             deadline=(time.perf_counter() + t) if t else None,
             logit_bias=tuple(logit_bias) if logit_bias else None,
+            logprobs=max(-1, min(int(logprobs), 20)),
         )
         with self._lock:
             self.requests[req.rid] = req
@@ -393,7 +414,19 @@ class BatchEngine:
         self.last_tokens = self.last_tokens.at[slot].set(first)
         req.generated.append(first)
         req.first_token_at = time.perf_counter()
-        req.out.put(first)
+        if req.logprobs >= 0:
+            # host-side log-softmax for the single prefill-sampled token
+            row = np.asarray(logits[0], np.float32)
+            mx = float(row.max())
+            lse = mx + float(np.log(np.exp(row - mx).sum()))
+            tops = []
+            if req.logprobs > 0:
+                top_idx = np.argpartition(-row, req.logprobs)[:req.logprobs]
+                top_idx = top_idx[np.argsort(-row[top_idx])]
+                tops = [(int(i), float(row[i] - lse)) for i in top_idx]
+            req.out.put((first, float(row[first] - lse), tops))
+        else:
+            req.out.put(first)
         req.status = Status.DECODE
         self._maybe_finish(req, first, ctx=len(ids))
         return True
@@ -461,7 +494,10 @@ class BatchEngine:
         base_lens = {r.rid: int(n) for r, n in
                      zip(self.slots, np.asarray(self.cache.length))
                      if r is not None}
-        toks, self.cache, self.state, self.key = _decode_block(
+        # logprobs are computed for the whole block when ANY active
+        # request asked (one extra compiled variant per top-k width)
+        n_top_lp = max((r.logprobs for r in active), default=-1)
+        outs = _decode_block(
             self.params, self.config, self.cache, self.last_tokens,
             self.state, self.key,
             steps=steps, sampler_name=self.rt.sampler,
@@ -469,7 +505,14 @@ class BatchEngine:
             top_p=self.rt.top_p, min_p=self.rt.min_p, penalty=self.rt.penalty,
             logit_bias=(self._bias_rows if self._bias_rows is not None
                         else self._logit_bias),
+            n_top_lp=n_top_lp,
         )
+        toks, self.cache, self.state, self.key = outs[:4]
+        lp_np = tid_np = tval_np = None
+        if n_top_lp >= 0:
+            lp_np = np.asarray(outs[4])
+            tid_np = np.asarray(outs[5])
+            tval_np = np.asarray(outs[6])
         toks_np = np.asarray(toks)
         self.last_tokens = toks[:, -1]
         for req in list(self.slots):
@@ -478,7 +521,13 @@ class BatchEngine:
             for j in range(steps):
                 tok = int(toks_np[req.slot, j])
                 req.generated.append(tok)
-                req.out.put(tok)
+                if req.logprobs >= 0 and lp_np is not None:
+                    tops = [(int(tid_np[req.slot, j, t]),
+                             float(tval_np[req.slot, j, t]))
+                            for t in range(req.logprobs)]
+                    req.out.put((tok, float(lp_np[req.slot, j]), tops))
+                else:
+                    req.out.put(tok)
                 # context length derived host-side: one device read per
                 # block (base_lens), not one per token
                 self._maybe_finish(req, tok,

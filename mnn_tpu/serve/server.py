@@ -103,6 +103,14 @@ def make_handler(llm, lock: threading.Lock, engine=None):
             if body.get("top_p") is not None:
                 llm.rt.top_p = float(body["top_p"])
             stream = bool(body.get("stream"))
+            # OpenAI logprobs: chat = bool `logprobs` + int `top_logprobs`;
+            # completions = int `logprobs` (top-N). -1 = off.
+            if chat:
+                lp = (int(body.get("top_logprobs") or 0)
+                      if body.get("logprobs") else -1)
+            else:
+                lp = (int(body["logprobs"])
+                      if body.get("logprobs") is not None else -1)
             rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
             created = int(time.time())
             model_name = body.get("model") or llm.config.name
@@ -111,7 +119,13 @@ def make_handler(llm, lock: threading.Lock, engine=None):
                 self._engine_completion(engine, prompt, max_tokens, stream,
                                         rid, created, model_name, chat,
                                         logit_bias=logit_bias,
-                                        timeout_s=timeout_s or None)
+                                        timeout_s=timeout_s or None,
+                                        logprobs=lp)
+                return
+            if lp >= 0:
+                self._json(400, {"error": {"message":
+                    "logprobs requires the batching engine "
+                    "(serve with --batch >= 1 engine mode)"}})
                 return
             import dataclasses as _dc
             llm.rt = _dc.replace(llm.rt, logit_bias=logit_bias)
@@ -183,10 +197,22 @@ def make_handler(llm, lock: threading.Lock, engine=None):
 
         def _engine_completion(self, engine, prompt, max_tokens, stream,
                                rid, created, model_name, chat,
-                               logit_bias=None, timeout_s=None):
+                               logit_bias=None, timeout_s=None,
+                               logprobs=-1):
             ids = llm.tokenizer.encode(prompt)
             req = engine.submit(ids, max_tokens, timeout_s=timeout_s,
-                                logit_bias=logit_bias)
+                                logit_bias=logit_bias, logprobs=logprobs)
+
+            def lp_entry(tok, lp, tops):
+                # chat-format logprob entry (OpenAI chat.completion)
+                return {
+                    "token": llm.tokenizer.decode([tok]),
+                    "logprob": lp,
+                    "top_logprobs": [
+                        {"token": llm.tokenizer.decode([i]), "logprob": v}
+                        for i, v in tops],
+                }
+
             if stream:
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
@@ -198,23 +224,32 @@ def make_handler(llm, lock: threading.Lock, engine=None):
                     self.wfile.write(f"{len(data):x}\r\n".encode())
                     self.wfile.write(data + b"\r\n")
 
-                buf = []
+                buf, lps = [], []
                 while True:
-                    tok = req.out.get()
-                    if tok is None:
+                    item = req.out.get()
+                    if item is None:
                         break
+                    if logprobs >= 0:
+                        tok, lp, tops = item
+                        lps.append(lp_entry(tok, lp, tops))
+                    else:
+                        tok = item
                     buf.append(tok)
                     text = llm.tokenizer.decode(buf)
                     if text.endswith("\ufffd"):
                         continue
                     buf.clear()
+                    choice = {"index": 0,
+                              "delta": {"content": text} if chat else {},
+                              "text": None if chat else text,
+                              "finish_reason": None}
+                    if logprobs >= 0:
+                        choice["logprobs"] = {"content": lps}
+                        lps = []
                     chunk(_sse({
                         "id": rid, "object": "chat.completion.chunk",
                         "created": created, "model": model_name,
-                        "choices": [{"index": 0,
-                                     "delta": {"content": text} if chat else {},
-                                     "text": None if chat else text,
-                                     "finish_reason": None}],
+                        "choices": [choice],
                     }))
                 chunk(_sse({
                     "id": rid, "object": "chat.completion.chunk",
@@ -225,20 +260,39 @@ def make_handler(llm, lock: threading.Lock, engine=None):
                 chunk(b"data: [DONE]\n\n")
                 chunk(b"")
                 return
-            toks = []
+            toks, lp_items = [], []
             while True:
-                tok = req.out.get()
-                if tok is None:
+                item = req.out.get()
+                if item is None:
                     break
+                if logprobs >= 0:
+                    tok, lp, tops = item
+                    lp_items.append((tok, lp, tops))
+                else:
+                    tok = item
                 toks.append(tok)
             text = llm.tokenizer.decode(toks)
             msg = {"role": "assistant", "content": text}
+            choice = {"index": 0,
+                      "message" if chat else "text": msg if chat else text,
+                      "finish_reason": "stop"}
+            if logprobs >= 0:
+                if chat:
+                    choice["logprobs"] = {
+                        "content": [lp_entry(*e) for e in lp_items]}
+                else:  # completions format
+                    choice["logprobs"] = {
+                        "tokens": [llm.tokenizer.decode([t])
+                                   for t, _, _ in lp_items],
+                        "token_logprobs": [lp for _, lp, _ in lp_items],
+                        "top_logprobs": [
+                            {llm.tokenizer.decode([i]): v for i, v in tops}
+                            for _, _, tops in lp_items],
+                    }
             self._json(200, {
                 "id": rid, "object": "chat.completion" if chat else
                 "text_completion", "created": created, "model": model_name,
-                "choices": [{"index": 0,
-                             "message" if chat else "text": msg if chat else text,
-                             "finish_reason": "stop"}],
+                "choices": [choice],
                 "usage": {"prompt_tokens": len(ids),
                           "completion_tokens": len(toks),
                           "total_tokens": len(ids) + len(toks)},
