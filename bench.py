@@ -52,10 +52,10 @@ def _decode_bytes_per_token(c, rt, kv_len):
     nq = (c.num_heads + 2 * c.num_kv_heads) * c.head_dim
     dq = c.q_dim
     bs = rt.quant_block
-    pack = 2 if rt.quant_bits == 4 else 1
 
     def lin(k_dim, n_dim):  # packed + bf16 scale/bias planes
-        return k_dim * n_dim // pack + (k_dim // bs) * n_dim * 2 * 2
+        return (k_dim * n_dim * rt.quant_bits // 8
+                + (k_dim // bs) * n_dim * 2 * 2)
 
     per_layer = lin(h, nq) + lin(dq, h)
     if c.is_moe:
@@ -69,13 +69,12 @@ def _decode_bytes_per_token(c, rt, kv_len):
         per_layer += lin(h, 2 * i_dim) + lin(i_dim, h)
     kvb = {8: 1.0, 4: 0.5, 3: 0.375}.get(rt.kv_bits, 2.0)
     kv = int(L * 2 * c.num_kv_heads * kv_len * (c.head_dim * kvb + 4))
-    head_pack = 2 if rt.lm_head_bits == 4 else 1
-    head = h * c.vocab_size // head_pack
+    head = h * c.vocab_size * rt.lm_head_bits // 8
     return L * per_layer + kv + head
 
 
 def bench_preset(preset: str, pp: int = PP, tg: int = TG,
-                 num_layers: int = 0, kv_bits: int = 8):
+                 num_layers: int = 0, kv_bits: int = 8, w_bits: int = 4):
     import dataclasses
 
     import jax
@@ -94,8 +93,8 @@ def bench_preset(preset: str, pp: int = PP, tg: int = TG,
         cap *= 2
     rt = RuntimeConfig(
         max_seq_len=cap, prefill_chunk=min(pp, 512), decode_block=tg,
-        sampler="greedy", kv_quant=True, kv_bits=kv_bits, quant_bits=4,
-        quant_block=128, lm_head_bits=4, prefill_act_bits=8,
+        sampler="greedy", kv_quant=True, kv_bits=kv_bits, quant_bits=w_bits,
+        quant_block=128, lm_head_bits=min(w_bits, 4), prefill_act_bits=8,
     )
     params = init_random_params(
         c, jax.random.PRNGKey(0), quant_bits=rt.quant_bits,
@@ -219,6 +218,7 @@ def main():
     ap.add_argument("--pp", type=int, default=PP)
     ap.add_argument("--tg", type=int, default=TG)
     ap.add_argument("--kv-bits", type=int, default=8, dest="kv_bits")
+    ap.add_argument("--w-bits", type=int, default=4, dest="w_bits")
     args = ap.parse_args()
 
     from mnn_tpu.utils.compile_cache import enable as enable_compile_cache
@@ -227,7 +227,7 @@ def main():
 
     if args.preset:
         r = bench_preset(args.preset, pp=args.pp, tg=args.tg,
-                         kv_bits=args.kv_bits)
+                         kv_bits=args.kv_bits, w_bits=args.w_bits)
         print(json.dumps({
             "metric": "decode_tok_s", "value": r["decode_tok_s"],
             "unit": "tok/s", "vs_baseline": round(
@@ -246,6 +246,11 @@ def main():
     # pp2048 (reference TQ4-class sub-byte KV, CPUKVCacheManager.hpp:20)
     long8 = _run_subprocess("qwen2-0.5b", ("--pp", "2048"))
     long4 = _run_subprocess("qwen2-0.5b", ("--pp", "2048", "--kv-bits", "4"))
+    # decode by weight bits (reference W2/W3/W4 table,
+    # skills/metal-optimize/perf-playbook.md:206): fewer bits = fewer
+    # bytes/token = faster decode at lower ppl fidelity
+    w3 = _run_subprocess("qwen2-0.5b", ("--w-bits", "3"))
+    w2 = _run_subprocess("qwen2-0.5b", ("--w-bits", "2"))
     print(json.dumps({
         "metric": "decode_tok_s",
         "value": small.get("decode_tok_s"),
@@ -266,6 +271,8 @@ def main():
         "gemma3_4b": gemma3,
         "longctx_pp2048_kv8": long8,
         "longctx_pp2048_kv4": long4,
+        "w3_qwen2_0.5b": w3,
+        "w2_qwen2_0.5b": w2,
         "baseline": "MNN Qwen2-0.5B INT4 iPhone 15 Pro"
                     " (51.36 decode / 234.51 prefill tok/s)",
     }))

@@ -154,7 +154,6 @@ def _plan(c, layers, cache, batch: int, head=None,
     i_dim = c.intermediate_size
     s = cache.capacity
     bits = lay.wqkv.bits
-    pack = 2 if bits == 4 else 1
     bs_h = lay.wqkv.block_size
     bs_i = lay.wdown.block_size
     b8 = 8
@@ -210,7 +209,6 @@ def _plan(c, layers, cache, batch: int, head=None,
     vocab = c.vocab_size
     vocab128 = vocab // 128 * 128
     if head is not None:
-        pack_h = 2 if head.bits == 4 else 1
         nbh = h // head.block_size
         sb_h = sbytes(head)
         bnv_opts = [v for v in (4096, 2048, 1024, 512, 256, 128)
@@ -236,7 +234,8 @@ def _plan(c, layers, cache, batch: int, head=None,
             # MLP gu slots — only the logits/argmax extras are new
             return out_slots
         nbh_p = round_up(nbh, 8)  # planes padded to 8-row DMA alignment
-        slot = _vb((h // pack_h, bnv), 1) + _vb((2 * nbh_p, bnv), sb_h)
+        slot = _vb((h * head.bits // 8, bnv), 1) \
+            + _vb((2 * nbh_p, bnv), sb_h)
         return hslots * slot + out_slots
 
     qkv_opts = _divisor_chunks(nq, 128) if nq % 128 == 0 else [nq]
@@ -259,10 +258,10 @@ def _plan(c, layers, cache, batch: int, head=None,
         dbl = (
             _vb((b8, h), 4)                     # x
             + _vb((b8, 4, d), 4)                # cos/sin
-            + _vb((h // pack, bnq), 1)          # wqkv chunk
+            + _vb((h * bits // 8, bnq), 1)      # wqkv chunk
             + 2 * _vb((h // bs_h, bnq), sb_q)   # sq/bq
             + _vb((1, nq), 4)                   # qkv out-bias
-            + _vb((bkwo // pack, h), 1)         # wo chunk
+            + _vb((bkwo * bits // 8, h), 1)     # wo chunk
             + 2 * _vb((bkwo // bs_h, h), sb_o)  # so/bo
             + 4 * _vb((1, h), 4)                # in/post/preffn/postffn norms
             + _vb((2, d), 4)                    # qk norms
@@ -272,9 +271,9 @@ def _plan(c, layers, cache, batch: int, head=None,
         )
         if not manual:  # revolving MLP chunks are pipeline operands
             dbl += (
-                _vb((h // pack, 2 * ci), 1)             # wgu chunk
+                _vb((h * bits // 8, 2 * ci), 1)         # wgu chunk
                 + _vb((2 * (h // bs_h), 2 * ci), sb_g)  # gsb chunk
-                + _vb((ci // pack, h), 1)               # wdown chunk
+                + _vb((ci * bits // 8, h), 1)           # wdown chunk
                 + _vb((2 * (ci // bs_i), h), sb_d)      # dsb chunk
             )
         outs = (
@@ -293,9 +292,9 @@ def _plan(c, layers, cache, batch: int, head=None,
             nb_h_p = round_up(h // bs_h, 8)
             nb_ci_p = round_up(ci // bs_i, 8)
             scratch += (
-                2 * _vb((h // pack, 2 * ci), 1)
+                2 * _vb((h * bits // 8, 2 * ci), 1)
                 + 2 * _vb((2 * nb_h_p, 2 * ci), sb_g)
-                + 2 * _vb((ci // pack, h), 1)
+                + 2 * _vb((ci * bits // 8, h), 1)
                 + 2 * _vb((2 * nb_ci_p, h), sb_d)
             )
         return 2 * (dbl + outs) + scratch
@@ -369,9 +368,9 @@ def _plan(c, layers, cache, batch: int, head=None,
             nb_h_p = round_up(h // bs_h, 8)
             n_wo_ = dq // ci_
             pools = 3 * (
-                _vb((h // pack, two), 1)            # A weight slots
+                _vb((h * bits // 8, two), 1)        # A weight slots
                 + _vb((2 * nb_h_p, two), sb_g)      # A plane slots
-                + _vb((ci_ // pack, h), 1)          # B weight slots
+                + _vb((ci_ * bits // 8, h), 1)      # B weight slots
                 + _vb((2 * nbp_b, h), sb_d)         # B plane slots
             )
             dbl = (
@@ -457,7 +456,7 @@ def supports(config, params, cache, batch: int) -> bool:
     if lay.wgu is None or lay.wdown is None:
         return False
     for ql in (lay.wqkv, lay.wo, lay.wgu, lay.wdown):
-        if ql.act_bits != 16 or ql.bits not in (4, 8):
+        if ql.act_bits != 16 or ql.bits not in (2, 3, 4, 8):
             return False
         if ql.out_bias is not None and ql is not lay.wqkv:
             return False
@@ -492,6 +491,11 @@ def supports_head(config, params) -> bool:
     head = params.lm_head
     if not isinstance(head, QuantizedLinear):
         return False
+    # Sub-4-bit heads are excluded: the in-kernel head chunk loop with
+    # the W2/W3 unpack hard-faults the TPU worker (Mosaic-level crash,
+    # reproduced on chip at bench shapes; the megakernel BODY runs W2/W3
+    # fine — only the head's manual-slot loop trips it). W2/W3 run the
+    # separate autotuned head GEMV instead.
     if head.bits not in (4, 8) or head.act_bits != 16:
         return False
     if head.out_bias is not None:
@@ -514,13 +518,30 @@ def _bf16r(v):
     return v.astype(jnp.bfloat16).astype(jnp.float32)
 
 
-def _dequant_block(w_ref_slice, bits, dtype=jnp.bfloat16):
-    """Unpack one quant block's packed rows -> [bs, bn] pattern matrix."""
+def _dequant_block(w_ref_slice, bits, dtype=jnp.bfloat16, bs=128):
+    """Unpack one quant block's packed rows -> [bs, bn] pattern matrix.
+
+    Layouts per quant/quantize.py: W4 nibble pairs (i, i + bs/2); W2 four
+    2-bit groups (i + m*bs/4); W3 a 2-bit plane (bs/4 rows) + a 1-bit
+    plane (bs/8 rows), q = lo2 + 4*hi1 — bitplanes keep every shift/mask
+    lane-aligned (byte-spanning 3-bit codes would not be; the same
+    constraint keeps TQ3 KV off the fast path).
+    """
     w32 = w_ref_slice.astype(jnp.int32)
     if bits == 4:
         lo = w32 & 0xF
         hi = (w32 >> 4) & 0xF
         return jnp.concatenate([lo, hi], axis=0).astype(dtype)
+    if bits == 2:
+        return jnp.concatenate(
+            [(w32 >> (2 * m)) & 3 for m in range(4)], axis=0).astype(dtype)
+    if bits == 3:
+        lo_r = w32[:bs // 4]
+        hi_r = w32[bs // 4:]
+        lo = jnp.concatenate(
+            [(lo_r >> (2 * m)) & 3 for m in range(4)], axis=0)
+        hi = jnp.concatenate([(hi_r >> m) & 1 for m in range(8)], axis=0)
+        return (lo + 4 * hi).astype(dtype)
     return (w32 & 0xFF).astype(dtype)
 
 
@@ -533,14 +554,11 @@ def _qmatmul_rows(x_f32, read_rows, s, b, *, bits, bs, k):
     rows (bf16 storage, upcast at use). Returns [M, bn] f32.
     """
     nb = k // bs
-    half = bs // 2
+    rpb = bs * bits // 8   # packed rows per quant block
     x = x_f32.astype(jnp.bfloat16)
     acc = None
     for kb in range(nb):
-        if bits == 4:
-            q = _dequant_block(read_rows(kb * half, (kb + 1) * half), bits)
-        else:
-            q = _dequant_block(read_rows(kb * bs, (kb + 1) * bs), bits)
+        q = _dequant_block(read_rows(kb * rpb, (kb + 1) * rpb), bits, bs=bs)
         xb = x[:, kb * bs:(kb + 1) * bs]
         part = jnp.dot(xb, q, preferred_element_type=jnp.float32)
         # rowsum over the SAME bf16-rounded x the MXU dot consumes — the
@@ -717,7 +735,7 @@ def _kernel(
 
         def b_dma_wo(l_, c_):
             slot = jax.lax.rem(l_ * RB + c_, S_r)
-            rows = ci // (2 if bits == 4 else 1)
+            rows = ci * bits // 8
             return (
                 pltpu.make_async_copy(
                     wo_ref.at[l_, pl.ds(c_ * rows, rows), :], b_w.at[slot],
@@ -1363,9 +1381,7 @@ def _kernel(
 
     if fuse_head and not plan.deep:
         bnv = plan.bnv
-        pack_h = 2 if head_bits == 4 else 1
         nbh = h // bs_head
-        half_h = bs_head // 2
 
         def dma_in(c_i, slot):
             st = pl.multiple_of(jnp.minimum(c_i * bnv, vocab - bnv), 128)
@@ -1591,7 +1607,7 @@ def fused_decode_model(
     has_qkv_bias = lay.wqkv.out_bias is not None
     use_qk_norm = c.qk_norm
 
-    pack = 2 if bits == 4 else 1
+    kp8 = bits  # packed rows per 8 logical K rows
 
     # scale/bias planes as [L, nb, N]: 3D blocks keep the natural T(8,128)
     # tiling — a trailing singleton dim forced a T(1,128) relayout copy of
@@ -1653,7 +1669,7 @@ def fused_decode_model(
         pad_rows(plane4(lay.wdown.bias.astype(lay.wdown.scale.dtype),
                         i_dim, bs_i, ci), dr, 2),
     ], axis=2)                      # [L, n_mlp, 2*rows, H]
-    dw4 = lay.wdown.packed.reshape(nl, n_mlp, ci // pack, h)
+    dw4 = lay.wdown.packed.reshape(nl, n_mlp, ci * kp8 // 8, h)
     if has_qkv_bias:
         qkvb = lay.wqkv.out_bias.reshape(nl, 1, nq)
     else:
@@ -1786,11 +1802,11 @@ def fused_decode_model(
     ] if plan.deep else [
         pl.BlockSpec((b8, h), const2),                      # x
         pl.BlockSpec((b8, 4, d), const3),                   # cos/sin
-        pl.BlockSpec((1, h // pack, bnq), at_qkv),          # wqkv chunk
+        pl.BlockSpec((1, h * kp8 // 8, bnq), at_qkv),       # wqkv chunk
         pl.BlockSpec((1, nb_h, bnq), at_qkv),               # sq
         pl.BlockSpec((1, nb_h, bnq), at_qkv),               # bq
         pl.BlockSpec((1, 1, nq), at_qkvb),                  # qkv out-bias
-        pl.BlockSpec((1, bkwo // pack, h), at_wo),          # wo chunk
+        pl.BlockSpec((1, bkwo * kp8 // 8, h), at_wo),       # wo chunk
         pl.BlockSpec((1, 1, bkwo // bs_h, h), at_wo_sc),    # so
         pl.BlockSpec((1, 1, bkwo // bs_h, h), at_wo_sc),    # bo
     ]) + ([
@@ -1799,9 +1815,9 @@ def fused_decode_model(
         pl.BlockSpec(memory_space=pltpu.ANY),               # wdown packed 4D
         pl.BlockSpec(memory_space=pltpu.ANY),               # dsb planes
     ] if pad_manual else [
-        pl.BlockSpec((1, h // pack, 2 * ci), at_gu),        # wgu chunk
+        pl.BlockSpec((1, h * kp8 // 8, 2 * ci), at_gu),     # wgu chunk
         pl.BlockSpec((1, 2 * (h // bs_h), 2 * ci), at_gu),  # gsb chunk
-        pl.BlockSpec((1, 1, ci // pack, h), at_dn4),        # wdown chunk
+        pl.BlockSpec((1, 1, ci * kp8 // 8, h), at_dn4),     # wdown chunk
         pl.BlockSpec((1, 1, 2 * nb_ci, h), at_dn4),         # dsb chunk
     ]) + [
         pl.BlockSpec((1, 1, h), at_norm),                   # input_norm
@@ -1849,9 +1865,9 @@ def fused_decode_model(
     if plan.deep:
         scratch += [
             # 3-deep shared slot rings: A (qkv/gu/head chunks), B (wo/dn)
-            pltpu.VMEM((3, h // pack, 2 * ci), jnp.int8),        # A weights
+            pltpu.VMEM((3, h * kp8 // 8, 2 * ci), jnp.int8),     # A weights
             pltpu.VMEM((3, 2 * nb_h_pad, 2 * ci), lay.wgu.scale.dtype),
-            pltpu.VMEM((3, ci // pack, h), jnp.int8),            # B weights
+            pltpu.VMEM((3, ci * kp8 // 8, h), jnp.int8),         # B weights
             pltpu.VMEM((3, 2 * nb_ci_pad, h), lay.wdown.scale.dtype),
             pltpu.SemaphoreType.DMA((3, 2)),                     # A sems
             pltpu.SemaphoreType.DMA((3, 2)),                     # B sems
@@ -1859,15 +1875,14 @@ def fused_decode_model(
     elif plan.mlp_manual:
         scratch += [
             # MLP manual-DMA double-buffer slots + semaphores
-            pltpu.VMEM((2, h // pack, 2 * ci), jnp.int8),        # gu slots
+            pltpu.VMEM((2, h * kp8 // 8, 2 * ci), jnp.int8),     # gu slots
             pltpu.VMEM((2, 2 * nb_h_pad, 2 * ci), lay.wgu.scale.dtype),
-            pltpu.VMEM((2, ci // pack, h), jnp.int8),            # dn slots
+            pltpu.VMEM((2, ci * kp8 // 8, h), jnp.int8),         # dn slots
             pltpu.VMEM((2, 2 * nb_ci_pad, h), lay.wdown.scale.dtype),
             pltpu.SemaphoreType.DMA((2, 4)),
         ]
     head_args = ()
     if fuse_head:
-        pack_h = 2 if head.bits == 4 else 1
         nbh = h // head.block_size
         # Mosaic DMA slices must be 8-row aligned in the sublane dim: pad
         # the scale/bias planes to a multiple of 8 rows (loop-invariant —
@@ -1893,7 +1908,8 @@ def fused_decode_model(
         dedicated = not head_reuse and not plan.deep
         if dedicated:
             scratch += [
-                pltpu.VMEM((plan.hslots, h // pack_h, plan.bnv), jnp.int8),
+                pltpu.VMEM((plan.hslots, h * head.bits // 8, plan.bnv),
+                           jnp.int8),
                 pltpu.VMEM((plan.hslots, 2 * nbh_pad, plan.bnv),
                            head.scale.dtype),
             ]
@@ -1931,7 +1947,7 @@ def fused_decode_model(
             flops=2 * nl * (h * nq + dq * h + h * two_i + i_dim * h)
             + head_flops,
             bytes_accessed=nl * (h * nq + dq * h + h * two_i + i_dim * h)
-            // pack + nl * 2 * b * hkv * s * d + head_bytes_,
+            * bits // 8 + nl * 2 * b * hkv * s * d + head_bytes_,
             transcendentals=nl * b * hkv * s,
         ),
         interpret=pltpu.InterpretParams() if interpret else False,

@@ -44,6 +44,26 @@ from mnn_tpu.kernels.common import (
 )
 
 
+def _unpack_rows(rows32, *, bits, bs):
+    """Unpack one quant block's packed int32 rows -> [bs, bn] pattern in
+    [0, 2^bits). Layouts: W4 nibble pairs (i, i+bs/2); W2 four 2-bit
+    groups (i + m*bs/4); W3 a 2-bit plane (bs/4 rows) + 1-bit plane
+    (bs/8 rows) with q = lo2 + 4*hi1 (quantize.pack_int2/3/4)."""
+    if bits == 8:
+        return rows32 & 0xFF
+    if bits == 4:
+        return jnp.concatenate([rows32 & 0xF, (rows32 >> 4) & 0xF], axis=0)
+    if bits == 2:
+        return jnp.concatenate(
+            [(rows32 >> (2 * m)) & 3 for m in range(4)], axis=0)
+    # bits == 3: bitplanes
+    lo_r = rows32[:bs // 4]
+    hi_r = rows32[bs // 4:]
+    lo = jnp.concatenate([(lo_r >> (2 * m)) & 3 for m in range(4)], axis=0)
+    hi = jnp.concatenate([(hi_r >> m) & 1 for m in range(8)], axis=0)
+    return lo + 4 * hi
+
+
 def _kernel_a8(lidx_ref, x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref,
                *, bits, block_size, nb):
     """W4A8/W8A8: int8 activations x signed-shifted int weights on the MXU.
@@ -60,19 +80,14 @@ def _kernel_a8(lidx_ref, x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     bs = block_size
-    half = bs // 2
+    rpb = bs * bits // 8
+    center = 1 << (bits - 1)
     x = x_ref[...]  # int8 [bm, bk]
 
     acc = acc_ref[...]
     for kb in range(nb):
-        if bits == 4:
-            w32 = w_ref[0, kb * half : (kb + 1) * half, :].astype(jnp.int32)
-            lo = (w32 & 0xF) - 8
-            hi = ((w32 >> 4) & 0xF) - 8
-            q = jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
-        else:
-            w32 = w_ref[0, kb * bs : (kb + 1) * bs, :].astype(jnp.int32)
-            q = ((w32 & 0xFF) - 128).astype(jnp.int8)
+        w32 = w_ref[0, kb * rpb:(kb + 1) * rpb, :].astype(jnp.int32)
+        q = (_unpack_rows(w32, bits=bits, bs=bs) - center).astype(jnp.int8)
         xb = x[:, kb * bs : (kb + 1) * bs]
         part = jax.lax.dot_general(
             xb, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
@@ -120,18 +135,12 @@ def _kernel_deq(lidx_ref, x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     bs = block_size
-    half = bs // 2
+    rpb = bs * bits // 8
     x = x_ref[...]
     acc = acc_ref[...]
     for kb in range(nb):
-        if bits == 4:
-            w32 = w_ref[0, kb * half:(kb + 1) * half, :].astype(jnp.int32)
-            lo = w32 & 0xF
-            hi = (w32 >> 4) & 0xF
-            q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)
-        else:
-            w32 = w_ref[0, kb * bs:(kb + 1) * bs, :].astype(jnp.int32)
-            q = (w32 & 0xFF).astype(jnp.float32)
+        w32 = w_ref[0, kb * rpb:(kb + 1) * rpb, :].astype(jnp.int32)
+        q = _unpack_rows(w32, bits=bits, bs=bs).astype(jnp.float32)
         s = s_ref[0, kb].astype(jnp.float32)       # [1, bn]
         b = b_ref[0, kb].astype(jnp.float32)
         wd = (q * s + b).astype(jnp.bfloat16)
@@ -153,20 +162,14 @@ def _kernel(lidx_ref, x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     bs = block_size
-    half = bs // 2
+    rpb = bs * bits // 8
     x = x_ref[...]
     rs = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True) if nb == 1 else None
 
     acc = acc_ref[...]
     for kb in range(nb):
-        if bits == 4:
-            w32 = w_ref[0, kb * half : (kb + 1) * half, :].astype(jnp.int32)
-            lo = w32 & 0xF
-            hi = (w32 >> 4) & 0xF
-            q = jnp.concatenate([lo, hi], axis=0).astype(x.dtype)  # [bs, bn]
-        else:
-            w32 = w_ref[0, kb * bs : (kb + 1) * bs, :].astype(jnp.int32)
-            q = (w32 & 0xFF).astype(x.dtype)
+        w32 = w_ref[0, kb * rpb:(kb + 1) * rpb, :].astype(jnp.int32)
+        q = _unpack_rows(w32, bits=bits, bs=bs).astype(x.dtype)  # [bs, bn]
         xb = x[:, kb * bs : (kb + 1) * bs]
         part = jnp.dot(xb, q, preferred_element_type=jnp.float32)
         rsb = (
@@ -345,7 +348,7 @@ def _dequant_matmul_pallas(
             out_bias = jax.lax.dynamic_index_in_dim(
                 out_bias, lidx, 0, keepdims=False
             )
-        k = packed.shape[1] * (2 if ql.bits == 4 else 1)
+        k = packed.shape[1] * 8 // ql.bits
         n = packed.shape[2]
         lidx_arr = jnp.reshape(jnp.asarray(lidx, jnp.int32), (1,))
     else:
@@ -387,7 +390,7 @@ def _dequant_matmul_pallas(
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
 
     nb = bk // bs
-    pack = 2 if ql.bits == 4 else 1
+    rpb_k = bk * ql.bits // 8   # packed rows per K tile
     grid = (m_pad // bm, -(-n // bn), k // bk)
 
     if a8:
@@ -422,7 +425,7 @@ def _dequant_matmul_pallas(
             in_specs=[
                 pl.BlockSpec((bm, bk), lambda i, j, kk, L: (i, kk)),
                 pl.BlockSpec(
-                    (1, bk // pack, bn), lambda i, j, kk, L: (L[0], kk, j)
+                    (1, rpb_k, bn), lambda i, j, kk, L: (L[0], kk, j)
                 ),
                 pl.BlockSpec(
                     (1, nb, 1, bn), lambda i, j, kk, L: (L[0], kk, 0, j)
@@ -440,7 +443,8 @@ def _dequant_matmul_pallas(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k * n,
-            bytes_accessed=m_pad * k * 2 + k * n // pack + m_pad * n * 2,
+            bytes_accessed=m_pad * k * 2 + k * n * ql.bits // 8
+            + m_pad * n * 2,
             transcendentals=0,
         ),
         interpret=pltpu.InterpretParams() if interpret else False,

@@ -440,16 +440,15 @@ def init_random_params(
             # statistically-equivalent quantized weights, built directly in
             # packed form (quantizing random floats costs minutes of
             # dispatch/compile on the tunnel for zero benefit)
-            pack = 2 if quant_bits == 4 else 1
             # one layer of random int8 broadcast across the stack: a
             # full-stack randint holds multi-GB generation transients that
             # OOM the MoE synthetic init on a 16GB chip, and kernel
             # timing is data-independent
             base = jax.random.randint(
-                key, (k_dim // pack, n_dim), -128, 128, jnp.int8
+                key, (k_dim * quant_bits // 8, n_dim), -128, 128, jnp.int8
             )
             packed = jnp.broadcast_to(
-                base, (c.num_layers, k_dim // pack, n_dim))
+                base, (c.num_layers, k_dim * quant_bits // 8, n_dim))
             qmax = (1 << quant_bits) - 1
             s = jnp.full(
                 (c.num_layers, k_dim // bs, n_dim), 2 * scale / qmax, jnp.bfloat16
@@ -477,11 +476,11 @@ def init_random_params(
         bs = choose_block_size(k_dim, quant_block)
         le = c.num_layers * c.num_experts
         if fast:
-            pack = 2 if quant_bits == 4 else 1
             base = jax.random.randint(
-                key, (k_dim // pack, n_dim), -128, 128, jnp.int8
+                key, (k_dim * quant_bits // 8, n_dim), -128, 128, jnp.int8
             )
-            packed = jnp.broadcast_to(base, (le, k_dim // pack, n_dim))
+            packed = jnp.broadcast_to(
+                base, (le, k_dim * quant_bits // 8, n_dim))
             qmax = (1 << quant_bits) - 1
             s = jnp.full((le, k_dim // bs, n_dim), 2 * scale / qmax, jnp.bfloat16)
             stacked = QuantizedLinear(
@@ -539,10 +538,10 @@ def init_random_params(
         **moe_fields,
     )
     emb = jax.random.normal(keys[4], (c.vocab_size, c.hidden_size), jnp.bfloat16) * scale
-    if lm_head_bits in (4, 8):
+    if lm_head_bits in (2, 3, 4, 8):
         bs_h = choose_block_size(c.hidden_size, quant_block)
         if fast:
-            pack = 2 if lm_head_bits == 4 else 1
+
             qmax = (1 << lm_head_bits) - 1
             s = jnp.full(
                 (c.hidden_size // bs_h, c.vocab_size), 2 * scale / qmax,
@@ -550,7 +549,8 @@ def init_random_params(
             )
             lm_head = QuantizedLinear(
                 packed=jax.random.randint(
-                    keys[5], (c.hidden_size // pack, c.vocab_size),
+                    keys[5], (c.hidden_size * lm_head_bits // 8,
+                              c.vocab_size),
                     -128, 128, jnp.int8),
                 scale=s, bias=-s * (qmax / 2), out_bias=None,
                 bits=lm_head_bits, block_size=bs_h,

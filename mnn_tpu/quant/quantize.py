@@ -48,7 +48,8 @@ class QuantizedLinear:
     `bits/block_size` are static metadata.
     """
 
-    packed: jax.Array  # int8  [K//2, N] (int4) or [K, N] (int8 storage of q)
+    packed: jax.Array  # int8  [K*bits//8, N] (W2: 4/byte; W3: 2-bit plane +
+    #                    1-bit plane per block; W4: 2/byte; W8: 1/byte)
     scale: jax.Array   # bf16  [K//block_size, N] (f32 accepted; kernels upcast)
     bias: jax.Array    # bf16  [K//block_size, N] (additive term; 0-centered for sym)
     out_bias: Optional[jax.Array]  # f32 [N] or None
@@ -61,7 +62,7 @@ class QuantizedLinear:
 
     @property
     def in_features(self) -> int:
-        return self.packed.shape[0] * (2 if self.bits == 4 else 1)
+        return self.packed.shape[0] * 8 // self.bits
 
     @property
     def out_features(self) -> int:
@@ -90,10 +91,13 @@ def choose_block_size(k: int, requested: int, shards: int = 1) -> int:
 
 
 def _check_args(k: int, bits: int, block_size: int):
-    if bits not in (4, 8):
-        raise ValueError(f"bits must be 4 or 8, got {bits}")
-    if block_size % 2 or k % block_size:
-        raise ValueError(f"block_size {block_size} must be even and divide K={k}")
+    if bits not in (2, 3, 4, 8):
+        raise ValueError(f"bits must be 2, 3, 4 or 8, got {bits}")
+    align = {2: 4, 3: 8, 4: 2, 8: 1}[bits]
+    if block_size % align or k % block_size:
+        raise ValueError(
+            f"block_size {block_size} must be a multiple of {align} "
+            f"(W{bits} packing) and divide K={k}")
 
 
 def pack_int4(q: jax.Array, block_size: int) -> jax.Array:
@@ -120,6 +124,85 @@ def unpack_int4(packed: jax.Array, block_size: int) -> jax.Array:
     lo = w32 & 0xF
     hi = (w32 >> 4) & 0xF
     return jnp.concatenate([lo, hi], axis=1).reshape(kh * 2, n)
+
+
+def pack_int2(q: jax.Array, block_size: int) -> jax.Array:
+    """Pack unsigned 2-bit values [K, N] -> int8 [K//4, N].
+
+    In-block grouping: offsets (i, i + bs/4, i + bs/2, i + 3bs/4) of each
+    quant block share a byte (group m in bit pair 2m). ≈ the reference's
+    low-memory W2 GEMV weight layout (arm64/low_memory/*_w2_Unit.S), laid
+    out lane-parallel for the TPU's int32 shift/mask unpack.
+    """
+    k, n = q.shape
+    quarter = block_size // 4
+    g = q.reshape(k // block_size, 4, quarter, n).astype(jnp.int32)
+    byte = g[:, 0] | (g[:, 1] << 2) | (g[:, 2] << 4) | (g[:, 3] << 6)
+    return jax.lax.bitcast_convert_type(
+        byte.astype(jnp.uint8).reshape(k // 4, n), jnp.int8)
+
+
+def unpack_int2(packed: jax.Array, block_size: int) -> jax.Array:
+    kq, n = packed.shape
+    quarter = block_size // 4
+    w32 = jax.lax.bitcast_convert_type(packed, jnp.uint8).astype(jnp.int32)
+    w32 = w32.reshape(kq // quarter, quarter, n)
+    parts = [(w32 >> (2 * m)) & 3 for m in range(4)]
+    return jnp.concatenate(parts, axis=1).reshape(kq * 4, n)
+
+
+def pack_int3(q: jax.Array, block_size: int) -> jax.Array:
+    """Pack unsigned 3-bit values [K, N] -> int8 [K*3//8, N] as BITPLANES.
+
+    Per quant block: a 2-bit plane (bs/4 rows, pack_int2 grouping of
+    q & 3) followed by a 1-bit plane (bs/8 rows; offsets (i + m*bs/8)
+    share a byte, bit m holds q >> 2). Byte-spanning 3-bit codes cannot
+    be unpacked with lane-aligned TPU ops (the same reason TQ3 KV stays
+    off the fast path); two aligned planes cost the same 0.375 B/weight.
+    """
+    k, n = q.shape
+    q = q.astype(jnp.int32)
+    lo = pack_int2(q & 3, block_size)                        # [K//4, N]
+    eighth = block_size // 8
+    hi_g = (q >> 2).reshape(k // block_size, 8, eighth, n)
+    hi_byte = hi_g[:, 0]
+    for m in range(1, 8):
+        hi_byte = hi_byte | (hi_g[:, m] << m)
+    hi = jax.lax.bitcast_convert_type(
+        hi_byte.astype(jnp.uint8).reshape(k // 8, n), jnp.int8)
+    # interleave per block: [bs/4 lo rows | bs/8 hi rows]
+    nb = k // block_size
+    lo_b = lo.reshape(nb, block_size // 4, n)
+    hi_b = hi.reshape(nb, eighth, n)
+    return jnp.concatenate([lo_b, hi_b], axis=1).reshape(k * 3 // 8, n)
+
+
+def unpack_int3(packed: jax.Array, block_size: int) -> jax.Array:
+    kr, n = packed.shape
+    rpb = block_size * 3 // 8
+    nb = kr // rpb
+    b = packed.reshape(nb, rpb, n)
+    lo = unpack_int2(
+        b[:, :block_size // 4].reshape(nb * (block_size // 4), n),
+        block_size)
+    w32 = jax.lax.bitcast_convert_type(
+        b[:, block_size // 4:].reshape(nb * (block_size // 8), n),
+        jnp.uint8).astype(jnp.int32)
+    w32 = w32.reshape(nb, block_size // 8, n)
+    hi = jnp.concatenate([(w32 >> m) & 1 for m in range(8)], axis=1)
+    return (lo.reshape(nb, block_size, n)
+            + 4 * hi).reshape(nb * block_size, n)
+
+
+def unpack_bits(packed: jax.Array, bits: int, block_size: int) -> jax.Array:
+    """Generic inverse: int8 packed -> int32 q in [0, 2^bits), [K, N]."""
+    if bits == 2:
+        return unpack_int2(packed, block_size)
+    if bits == 3:
+        return unpack_int3(packed, block_size)
+    if bits == 4:
+        return unpack_int4(packed, block_size)
+    return jax.lax.bitcast_convert_type(packed, jnp.uint8).astype(jnp.int32)
 
 
 def _bf16_round_up(x: jax.Array) -> jax.Array:
@@ -186,7 +269,11 @@ def quantize(
         bias = wmin
 
     q = q.astype(jnp.int32).reshape(k, n)
-    if bits == 4:
+    if bits == 2:
+        packed = pack_int2(q, block_size)
+    elif bits == 3:
+        packed = pack_int3(q, block_size)
+    elif bits == 4:
         packed = pack_int4(q, block_size)
     else:
         # store q - 128 in int8 (same bit pattern as uint8 q)
@@ -204,10 +291,7 @@ def quantize(
 
 def dequantize(ql: QuantizedLinear, dtype=jnp.float32) -> jax.Array:
     """Reference dequantization: packed -> float [K, N]."""
-    if ql.bits == 4:
-        q = unpack_int4(ql.packed, ql.block_size)
-    else:
-        q = jax.lax.bitcast_convert_type(ql.packed, jnp.uint8).astype(jnp.int32)
+    q = unpack_bits(ql.packed, ql.bits, ql.block_size)
     k, n = q.shape
     nb = k // ql.block_size
     qb = q.reshape(nb, ql.block_size, n).astype(jnp.float32)
