@@ -245,7 +245,7 @@ class Llm:
         if rt.speculative == "lookahead" and rt.sampler == "greedy":
             yield from self._stream_lookahead(token_ids, max_new, eos)
             return
-        if rt.speculative in ("eagle", "eagle-tree", "mtp") \
+        if rt.speculative in ("eagle", "eagle-tree", "mtp", "dflash") \
                 and rt.sampler == "greedy":
             yield from self._stream_draft(token_ids, max_new, eos)
             return
@@ -355,6 +355,13 @@ class Llm:
                                       fanout=self.rt.tree_fanout)
             return EagleDraft(ep, draft_len=self.rt.draft_len,
                               capacity=self.rt.max_seq_len)
+        if self.rt.speculative == "dflash":
+            from mnn_tpu.models.dflash import init_random_dflash
+            from mnn_tpu.runtime.speculative import DFlashDraft
+
+            dp = init_random_dflash(
+                self.config, key, block_size=self.rt.draft_len)
+            return DFlashDraft(dp, capacity=self.rt.max_seq_len)
         heads = eagle_mod.init_random_mtp(
             self.config, key, num_heads=self.rt.draft_len
         )

@@ -293,6 +293,78 @@ class EagleDraft:
             self.cache = kvcache.rollback(self.cache, n)
 
 
+class DFlashDraft:
+    """Block-diffusion drafter (the reference's fourth speculative mode,
+    speculative_decoding/dflash.cpp): a small NON-CAUSAL draft net emits a
+    whole `block_size`-token draft in ONE forward over
+    [fc(target hiddens) | mask-token block] — no draft KV cache, no
+    per-token chaining. Context rows live in a fixed-capacity buffer
+    (static shapes under jit); verification is the standard lossless loop
+    in draft_generate()."""
+
+    kind = "dflash"
+
+    def __init__(self, dparams, capacity: int = 512):
+        self.dp = dparams
+        self.draft_len = dparams.block_size
+        self.capacity = capacity
+        self.ctx = None            # [1, cap, H] f32
+        self.n = 0                 # valid rows
+        self.start_pos = 0         # rope position of ctx row 0
+
+    def _push(self, rows):
+        """Append fc-projected rows [1, m, H]; slide the window when full
+        (the draft attends to the most recent `capacity` positions)."""
+        m = rows.shape[1]
+        if self.n + m > self.capacity:
+            shift = self.n + m - self.capacity
+            self.ctx = jnp.concatenate(
+                [self.ctx[:, shift:], jnp.zeros_like(self.ctx[:, :shift])],
+                axis=1)
+            self.n -= shift
+            self.start_pos += shift
+        self.ctx = jax.lax.dynamic_update_slice(
+            self.ctx, rows.astype(jnp.float32), (0, self.n, 0))
+        self.n += m
+
+    def start(self, params, config, prompt_ids: List[int], feats):
+        from mnn_tpu.models.dflash import fc_forward
+
+        self.params, self.config = params, config
+        h = config.hidden_size
+        self.ctx = jnp.zeros((1, self.capacity, h), jnp.float32)
+        self.n = 0
+        self.start_pos = 0
+        rows = fc_forward(self.dp, feats)
+        if rows.shape[1] > self.capacity:
+            self.start_pos = rows.shape[1] - self.capacity
+            rows = rows[:, -self.capacity:]
+        self._push(rows)
+
+    def propose(self, last_token: int, last_feat) -> List[int]:
+        import numpy as np
+
+        from mnn_tpu.models.dflash import dflash_block_logits
+
+        logits = dflash_block_logits(
+            self.dp, self.params, self.config, self.ctx,
+            jnp.asarray(self.n, jnp.int32),
+            jnp.asarray(self.start_pos, jnp.int32))
+        return [int(t) for t in np.asarray(jnp.argmax(logits[0], axis=-1))]
+
+    def commit(self, prev_token: int, prev_feat, emitted: List[int], vfeats,
+               n_accept: int):
+        # context rows track PRODUCED positions 1:1 (start() pushed every
+        # prompt position, including prev_feat's); the verify step keeps
+        # n_accept+1 new positions, so push exactly their features
+        from mnn_tpu.models.dflash import fc_forward
+
+        self._push(fc_forward(self.dp, vfeats[:, :n_accept + 1]))
+
+    def rollback(self, n: int):
+        self.n = max(0, self.n - n)
+
+
 class MtpDraft:
     """MTP/Medusa-style drafter: K residual heads off the last feature.
 
