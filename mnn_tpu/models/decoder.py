@@ -73,6 +73,10 @@ class LayerParams:
     wgu_shared: Optional[QuantizedLinear] = None   # qwen2-moe shared expert
     wdown_shared: Optional[QuantizedLinear] = None
     shared_gate: Optional[jax.Array] = None   # [L, hidden] sigmoid gate
+    # gemma-3n per-layer embeddings (PLE): projection of the token's
+    # per-layer embedding row into the residual stream after each layer
+    # (reference: DiskEmbedding PLE, diskembedding.hpp:19)
+    ple_proj: Optional[jax.Array] = None      # [L, ple_dim, hidden]
 
 
 @jax.tree_util.register_dataclass
@@ -86,6 +90,9 @@ class Params:
     # RAM), or None when tied to the embedding
     lm_head: Optional[jax.Array | QuantizedLinear]
     layers: LayerParams
+    # PLE table (gemma-3n): per-token per-layer embedding rows, scale
+    # pre-folded at load (omni.cpp ple_embed_scale)
+    ple_table: Optional[jax.Array] = None     # [vocab, L, ple_dim]
 
 
 @jax.tree_util.register_dataclass
@@ -616,7 +623,7 @@ def _attention(
 def _forward_unrolled(
     params, c, x, cache, cos, sin, start, kv_len, b, t,
     *, lora, tp_axis, interpret, qkv_split, megakernel=None,
-    fuse_head=False, cos_l=None, sin_l=None,
+    fuse_head=False, cos_l=None, sin_l=None, deepstack=None, ple_x=None,
 ):
     """Unrolled layer loop over [L, ...]-stacked weights and KV cache.
 
@@ -645,7 +652,8 @@ def _forward_unrolled(
             "megakernel=True requires t==1, a Pallas backend, no LoRA and "
             "no tp_axis")
     if (megakernel is not False and t == 1 and use_pallas(interpret)
-            and lora is None and tp_axis is None):
+            and lora is None and tp_axis is None
+            and deepstack is None and ple_x is None):
         from mnn_tpu.kernels import decode_model
 
         eligible = decode_model.supports(c, params, cache, b)
@@ -817,6 +825,18 @@ def _forward_unrolled(
         if c.sandwich_norm:
             d = rms_norm(d, layers.post_ffn_norm[i], c.rms_norm_eps)
         x = x + d.astype(x.dtype)
+        if ple_x is not None:
+            # gemma-3n PLE: per-layer embedding row -> residual stream
+            # (reference: diskembedding.hpp:19, omni.cpp PLE lookup)
+            add = jnp.dot(ple_x[:, :, i].astype(jnp.float32),
+                          layers.ple_proj[i].astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+            x = x + add.astype(x.dtype)
+        if deepstack is not None and i < deepstack.shape[0]:
+            # qwen3-VL deepstack: ViT level-i features spliced into the
+            # hidden states after layer i (reference: omni.hpp:150-183,
+            # omni.cpp deepstack embeddings)
+            x = x + deepstack[i].astype(x.dtype)
 
     new_cache = dataclasses.replace(cache, length=kv_len)
     return x, new_cache, None, None
@@ -846,6 +866,9 @@ def forward(
     return_token: bool = False,  # also return the greedy next token
     tree: Optional[tuple] = None,  # (depths [T] i32, mask [T, T] bool):
                                    # token-tree verify (EAGLE); see below
+    deepstack: Optional[jax.Array] = None,  # [levels, B, T, hidden]:
+                                   # qwen3-VL multi-level ViT features
+                                   # added after layers 0..levels-1
 ) -> Tuple[jax.Array, KVCache]:
     """Run the model over `tokens`, appending T positions to the cache.
 
@@ -906,6 +929,8 @@ def forward(
         layer_scan = ((c.is_moe and not moe_fast)
                       or (gemma_like and not gemma_fast)
                       or tree is not None)
+        if deepstack is not None or params.ple_table is not None:
+            layer_scan = False   # per-layer splices live on the unrolled path
     if tree is not None and not layer_scan:
         raise ValueError("tree verify requires the layer-scan path")
     if inputs_embeds is not None:
@@ -1064,11 +1089,14 @@ def forward(
             bits=cache.bits, codebook=cache.codebook,
         )
     else:
+        ple_x = (params.ple_table[tokens]
+                 if params.ple_table is not None else None)  # [B,T,L,dim]
         x, new_cache, fused_logits, fused_token = _forward_unrolled(
             params, c, x, cache, cos, sin, start, kv_len, b, t,
             lora=lora, tp_axis=tp_axis, interpret=interpret,
             qkv_split=qkv_split, megakernel=megakernel,
             fuse_head=not return_hidden, cos_l=cos_l, sin_l=sin_l,
+            deepstack=deepstack, ple_x=ple_x,
         )
         if fused_logits is not None and not return_hidden:
             if c.final_softcap:
