@@ -137,7 +137,11 @@ def pack_int2(q: jax.Array, block_size: int) -> jax.Array:
     k, n = q.shape
     quarter = block_size // 4
     g = q.reshape(k // block_size, 4, quarter, n).astype(jnp.int32)
-    byte = g[:, 0] | (g[:, 1] << 2) | (g[:, 2] << 4) | (g[:, 3] << 6)
+    # multiply-add instead of shift/or: identical for disjoint bit ranges,
+    # and the `<<` ufunc pattern here segfaulted XLA:CPU's codegen when
+    # compiled late in a long test session (reproduced twice at the same
+    # point; arithmetic lowers through a different, stable path)
+    byte = g[:, 0] + g[:, 1] * 4 + g[:, 2] * 16 + g[:, 3] * 64
     return jax.lax.bitcast_convert_type(
         byte.astype(jnp.uint8).reshape(k // 4, n), jnp.int8)
 
@@ -164,10 +168,10 @@ def pack_int3(q: jax.Array, block_size: int) -> jax.Array:
     q = q.astype(jnp.int32)
     lo = pack_int2(q & 3, block_size)                        # [K//4, N]
     eighth = block_size // 8
-    hi_g = (q >> 2).reshape(k // block_size, 8, eighth, n)
+    hi_g = (q // 4).reshape(k // block_size, 8, eighth, n)
     hi_byte = hi_g[:, 0]
-    for m in range(1, 8):
-        hi_byte = hi_byte | (hi_g[:, m] << m)
+    for m in range(1, 8):  # multiply-add == or for single-bit planes
+        hi_byte = hi_byte + hi_g[:, m] * (1 << m)
     hi = jax.lax.bitcast_convert_type(
         hi_byte.astype(jnp.uint8).reshape(k // 8, n), jnp.int8)
     # interleave per block: [bs/4 lo rows | bs/8 hi rows]
