@@ -11,12 +11,15 @@ lane-aligned TPU ops), with the same per-block affine dequant algebra.
 """
 
 import math
+import os
 
 import numpy as np
 import pytest
 
 import jax
 import jax.numpy as jnp
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from mnn_tpu.quant.quantize import (dequantize, matmul_dequant_ref,
                                     pack_int2, pack_int3, quantize,
@@ -62,13 +65,39 @@ class TestKernels:
         assert rel < 5e-3, (bits, m, rel)
 
 
+def _run_megakernel_parity(bits: int):
+    import tests.test_decode_model as t
+
+    params, cache = t._setup(t.BASE, quantized=True, bits=bits)
+    t._compare(t.BASE, params, cache)
+
+
 class TestMegakernel:
     @pytest.mark.parametrize("bits", [2, 3])
     def test_parity(self, bits):
-        import tests.test_decode_model as t
+        """Runs in a FRESH subprocess: XLA:CPU's codegen segfaults
+        compiling the W2/W3 unpack graphs when they are first traced late
+        in a long test session (reproduced twice at the same suite
+        position; standalone runs always pass). Process isolation keeps
+        the suite green without touching the kernels' shift lowering,
+        which is correct and fast on the real TPU."""
+        import os
+        import subprocess
+        import sys
 
-        params, cache = t._setup(t.BASE, quantized=True, bits=bits)
-        t._compare(t.BASE, params, cache)
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=8 "
+                            "--xla_allow_excess_precision=false")
+        code = (f"import sys; sys.path.insert(0, {repr(_REPO)});\n"
+                "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+                f"import tests.test_w23 as m; m._run_megakernel_parity({bits})\n"
+                "print('PARITY_OK')")
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           cwd=_REPO, capture_output=True, text=True,
+                           timeout=900)
+        assert r.returncode == 0 and "PARITY_OK" in r.stdout, \
+            (r.returncode, r.stderr[-1500:])
 
 
 class TestPpl:
