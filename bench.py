@@ -74,7 +74,8 @@ def _decode_bytes_per_token(c, rt, kv_len):
 
 
 def bench_preset(preset: str, pp: int = PP, tg: int = TG,
-                 num_layers: int = 0, kv_bits: int = 8, w_bits: int = 4):
+                 num_layers: int = 0, kv_bits: int = 8, w_bits: int = 4,
+                 q_block: int = 128):
     import dataclasses
 
     import jax
@@ -94,7 +95,7 @@ def bench_preset(preset: str, pp: int = PP, tg: int = TG,
     rt = RuntimeConfig(
         max_seq_len=cap, prefill_chunk=min(pp, 512), decode_block=tg,
         sampler="greedy", kv_quant=True, kv_bits=kv_bits, quant_bits=w_bits,
-        quant_block=128, lm_head_bits=min(w_bits, 4), prefill_act_bits=8,
+        quant_block=q_block, lm_head_bits=min(w_bits, 4), prefill_act_bits=8,
     )
     params = init_random_params(
         c, jax.random.PRNGKey(0), quant_bits=rt.quant_bits,
@@ -219,6 +220,7 @@ def main():
     ap.add_argument("--tg", type=int, default=TG)
     ap.add_argument("--kv-bits", type=int, default=8, dest="kv_bits")
     ap.add_argument("--w-bits", type=int, default=4, dest="w_bits")
+    ap.add_argument("--q-block", type=int, default=128, dest="q_block")
     args = ap.parse_args()
 
     from mnn_tpu.utils.compile_cache import enable as enable_compile_cache
@@ -227,7 +229,8 @@ def main():
 
     if args.preset:
         r = bench_preset(args.preset, pp=args.pp, tg=args.tg,
-                         kv_bits=args.kv_bits, w_bits=args.w_bits)
+                         kv_bits=args.kv_bits, w_bits=args.w_bits,
+                         q_block=args.q_block)
         print(json.dumps({
             "metric": "decode_tok_s", "value": r["decode_tok_s"],
             "unit": "tok/s", "vs_baseline": round(
@@ -251,6 +254,11 @@ def main():
     # bytes/token = faster decode at lower ppl fidelity
     w3 = _run_subprocess("qwen2-0.5b", ("--w-bits", "3"))
     w2 = _run_subprocess("qwen2-0.5b", ("--w-bits", "2"))
+    # 7B at quant_block=256: the per-128-block dot/unpack granularity is
+    # the measured 7B decode bottleneck (docs/perf_decode.md); this row
+    # documents the coarser-block speed point next to the strict block128
+    # headline
+    b256 = _run_subprocess("qwen2-7b", ("--q-block", "256"))
     print(json.dumps({
         "metric": "decode_tok_s",
         "value": small.get("decode_tok_s"),
@@ -273,6 +281,7 @@ def main():
         "longctx_pp2048_kv4": long4,
         "w3_qwen2_0.5b": w3,
         "w2_qwen2_0.5b": w2,
+        "w4_block256_qwen2_7b": b256,
         "baseline": "MNN Qwen2-0.5B INT4 iPhone 15 Pro"
                     " (51.36 decode / 234.51 prefill tok/s)",
     }))
