@@ -40,8 +40,18 @@ from mnn_tpu.kernels.common import round_up
 
 
 def _deq_dot(x, w_ref, s_ref, b_ref, *, bits, bs, k):
-    """sum_kb x_kb @ (q_kb * s_kb + b_kb) with pattern-side dequant."""
+    """sum_kb of one expert's quant blocks against the capacity batch.
+
+    Algebra picked by the capacity-row count m: PARTIAL-PRODUCT
+    ((x@q)*s + rowsum(x)*b — post-ops scale with m*bn per block) when the
+    batch is smaller than the quant block, pattern-side dequant
+    (q*s + b, costs bs*bn per block) when it is larger. At the bench
+    shape (cap = 2x mean load = 72 rows, bs = 128) partial-product is
+    the cheaper side of the crossover.
+    """
     half = bs // 2
+    m = x.shape[0]
+    partial = m < bs
     acc = None
     xb16 = x.astype(jnp.bfloat16)
     for kb in range(k // bs):
@@ -49,16 +59,21 @@ def _deq_dot(x, w_ref, s_ref, b_ref, *, bits, bs, k):
             w32 = w_ref[0, kb * half:(kb + 1) * half, :].astype(jnp.int32)
             lo = w32 & 0xF
             hi = (w32 >> 4) & 0xF
-            q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)
+            q32 = jnp.concatenate([lo, hi], axis=0)
         else:
-            w32 = w_ref[0, kb * bs:(kb + 1) * bs, :].astype(jnp.int32)
-            q = (w32 & 0xFF).astype(jnp.float32)
+            q32 = w_ref[0, kb * bs:(kb + 1) * bs, :].astype(jnp.int32) & 0xFF
         s = s_ref[0, kb].astype(jnp.float32)
         b = b_ref[0, kb].astype(jnp.float32)
-        wd = (q * s + b).astype(jnp.bfloat16)
-        part = jnp.dot(xb16[:, kb * bs:(kb + 1) * bs], wd,
-                       preferred_element_type=jnp.float32)
-        acc = part if acc is None else acc + part
+        xb = xb16[:, kb * bs:(kb + 1) * bs]
+        if partial:
+            part = jnp.dot(xb, q32.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            rsb = jnp.sum(xb.astype(jnp.float32), axis=1, keepdims=True)
+            term = part * s + rsb * b
+        else:
+            wd = (q32.astype(jnp.float32) * s + b).astype(jnp.bfloat16)
+            term = jnp.dot(xb, wd, preferred_element_type=jnp.float32)
+        acc = term if acc is None else acc + term
     return acc
 
 
